@@ -1,0 +1,574 @@
+"""Mapping: constellations, (de)mappers, and random sources.
+
+API parity with reference src/sionna/phy/mapping.py (fresh JAX
+implementations). LLRs follow the *logit* convention
+``LLR = log(P(b=1)/P(b=0))`` (reference mapping.py:521 docstring).
+
+TPU design notes: all demappers compute dense [..., num_points]
+distance/logit tensors and reduce with masked logsumexp/max - pure
+vectorized VPU work that XLA fuses; constellation lookups are gathers
+from tiny tables resident in VMEM.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .config import config, dtypes
+from .block import Block, Object
+from .utils.tensors import expand_to_rank
+
+__all__ = ["pam_gray", "qam", "pam", "Constellation", "Mapper", "Demapper",
+           "SymbolDemapper", "SymbolLogits2LLRs", "LLRs2SymbolLogits",
+           "SymbolLogits2Moments", "SymbolInds2Bits", "QAM2PAM", "PAM2QAM",
+           "BinarySource", "SymbolSource", "QAMSource", "PAMSource"]
+
+
+def pam_gray(b):
+    """Maps a binary vector to a Gray-labeled PAM point in
+    {+-1, +-3, ..., +-(2^n - 1)} per 3GPP TS 38.211 Section 5.1
+    (reference mapping.py:15)."""
+    if len(b) > 1:
+        return (1 - 2 * b[0]) * (2 ** len(b[1:]) - pam_gray(b[1:]))
+    return 1 - 2 * b[0]
+
+
+def qam(num_bits_per_symbol, normalize=True, precision=None):
+    """Gray-labeled QAM constellation; the label of the n-th point is the
+    binary representation of n, even bits -> real PAM, odd bits -> imag
+    PAM (reference mapping.py:44)."""
+    if num_bits_per_symbol % 2 != 0 or num_bits_per_symbol <= 0:
+        raise ValueError("num_bits_per_symbol must be a multiple of 2")
+    if precision is None:
+        rdtype = config.np_rdtype
+        cdtype = config.np_cdtype
+    else:
+        rdtype = dtypes[precision]["np"]["rdtype"]
+        cdtype = dtypes[precision]["np"]["cdtype"]
+
+    c = np.zeros([2 ** num_bits_per_symbol], dtype=cdtype)
+    for i in range(2 ** num_bits_per_symbol):
+        b = np.array(list(np.binary_repr(i, num_bits_per_symbol)),
+                     dtype=np.int32)
+        c[i] = pam_gray(b[0::2]) + 1j * pam_gray(b[1::2])
+
+    if normalize:
+        n = num_bits_per_symbol // 2
+        qam_var = 1 / (2 ** (n - 2)) * np.sum(
+            np.linspace(1, 2 ** n - 1, 2 ** (n - 1), dtype=rdtype) ** 2)
+        c /= np.sqrt(qam_var)
+    return c
+
+
+def pam(num_bits_per_symbol, normalize=True, precision=None):
+    """Gray-labeled PAM constellation (reference mapping.py:120)."""
+    if num_bits_per_symbol <= 0:
+        raise ValueError("num_bits_per_symbol must be positive")
+    if precision is None:
+        rdtype = config.np_rdtype
+        cdtype = config.np_cdtype
+    else:
+        rdtype = dtypes[precision]["np"]["rdtype"]
+        cdtype = dtypes[precision]["np"]["cdtype"]
+
+    c = np.zeros([2 ** num_bits_per_symbol], dtype=cdtype)
+    for i in range(2 ** num_bits_per_symbol):
+        b = np.array(list(np.binary_repr(i, num_bits_per_symbol)),
+                     dtype=np.int32)
+        c[i] = pam_gray(b)
+
+    if normalize:
+        n = num_bits_per_symbol
+        pam_var = 1 / (2 ** (n - 1)) * np.sum(
+            np.linspace(1, 2 ** n - 1, 2 ** (n - 1), dtype=rdtype) ** 2)
+        c /= np.sqrt(pam_var)
+    return c
+
+
+class Constellation(Block):
+    """Constellation container: "qam" | "pam" | "custom"
+    (reference mapping.py:195).
+
+    For trainable constellations, read the initial ``points``, optimize
+    them functionally, and either pass the updated array as the
+    call-time ``points`` override of :class:`Mapper`/:class:`Demapper`
+    or assign it back here - the JAX-idiomatic replacement for the
+    reference's ``tf.Variable`` points.
+    """
+
+    def __init__(self, constellation_type, num_bits_per_symbol,
+                 points=None, normalize=True, center=False,
+                 precision=None, **kwargs):
+        super().__init__(precision=precision, **kwargs)
+        if constellation_type not in ("qam", "pam", "custom"):
+            raise ValueError("Unknown constellation_type")
+        self._constellation_type = constellation_type
+        self._num_bits_per_symbol = int(num_bits_per_symbol)
+        self._normalize = bool(normalize)
+        self._center = bool(center)
+
+        if constellation_type == "qam":
+            if points is not None:
+                raise ValueError("points cannot be provided for qam")
+            points = qam(self._num_bits_per_symbol, normalize=False,
+                         precision=self.precision)
+        elif constellation_type == "pam":
+            if points is not None:
+                raise ValueError("points cannot be provided for pam")
+            points = pam(self._num_bits_per_symbol, normalize=False,
+                         precision=self.precision)
+        else:
+            if points is None:
+                raise ValueError("points must be provided for custom")
+        points = jnp.asarray(points, self.cdtype)
+        if points.shape[0] != 2 ** self._num_bits_per_symbol:
+            raise ValueError("points has wrong number of elements")
+        self._points = points
+
+    @property
+    def constellation_type(self):
+        return self._constellation_type
+
+    @property
+    def num_bits_per_symbol(self):
+        return self._num_bits_per_symbol
+
+    @property
+    def num_points(self):
+        return 2 ** self._num_bits_per_symbol
+
+    @property
+    def normalize(self):
+        return self._normalize
+
+    @normalize.setter
+    def normalize(self, value):
+        self._normalize = bool(value)
+
+    @property
+    def center(self):
+        return self._center
+
+    @center.setter
+    def center(self, value):
+        self._center = bool(value)
+
+    @property
+    def points(self):
+        """Normalized/centered points (what mappers consume)."""
+        return self(self._points)
+
+    @points.setter
+    def points(self, v):
+        self._points = jnp.asarray(v, self.cdtype)
+
+    def call(self, points=None):
+        """Applies centering/normalization to the (possibly overridden)
+        raw points and returns the effective constellation."""
+        if points is None:
+            points = self._points
+        points = jnp.asarray(points, self.cdtype)
+        if self._center:
+            points = points - jnp.mean(points)
+        if self._normalize:
+            energy = jnp.mean(jnp.abs(points) ** 2)
+            points = points / jnp.sqrt(energy).astype(self.cdtype)
+        return points
+
+    def show(self, labels=True, figsize=(7, 7)):
+        """Scatter plot of the constellation."""
+        import matplotlib.pyplot as plt
+        maxval = np.max(np.abs(np.asarray(self.points))) * 1.05
+        pts = np.asarray(self.points)
+        fig = plt.figure(figsize=figsize)
+        ax = fig.add_subplot(111)
+        plt.xlim(-maxval, maxval)
+        plt.ylim(-maxval, maxval)
+        plt.scatter(np.real(pts), np.imag(pts))
+        ax.set_aspect("equal", adjustable="box")
+        plt.xlabel("Real Part")
+        plt.ylabel("Imaginary Part")
+        plt.grid(True, which="both", axis="both")
+        plt.title("Constellation Plot")
+        if labels:
+            for j, p in enumerate(pts):
+                plt.annotate(np.binary_repr(j, self.num_bits_per_symbol),
+                             (np.real(p), np.imag(p)))
+        return fig
+
+    @staticmethod
+    def check_or_create(*, constellation_type=None, num_bits_per_symbol=None,
+                        constellation=None, precision=None):
+        """Returns an existing constellation or creates one
+        (reference mapping.py:407)."""
+        if constellation is not None:
+            if precision is not None and \
+                    constellation.precision != precision:
+                raise ValueError("Constellation has wrong precision.")
+            return constellation
+        return Constellation(constellation_type, num_bits_per_symbol,
+                             precision=precision)
+
+
+def _binary_labels(num_bits_per_symbol):
+    """[2^K, K] array of bit labels, MSB first."""
+    n = 2 ** num_bits_per_symbol
+    ints = np.arange(n)
+    shifts = np.arange(num_bits_per_symbol - 1, -1, -1)
+    return ((ints[:, None] >> shifts[None, :]) & 1).astype(np.int32)
+
+
+class Mapper(Block):
+    """Maps a tensor of bits [..., n*K] to constellation symbols
+    [..., n] (reference mapping.py:422)."""
+
+    def __init__(self, constellation_type=None, num_bits_per_symbol=None,
+                 constellation=None, return_indices=False, precision=None,
+                 **kwargs):
+        super().__init__(precision=precision, **kwargs)
+        self._constellation = Constellation.check_or_create(
+            constellation_type=constellation_type,
+            num_bits_per_symbol=num_bits_per_symbol,
+            constellation=constellation, precision=precision)
+        self._return_indices = bool(return_indices)
+        k = self._constellation.num_bits_per_symbol
+        self._bit_weights = jnp.asarray(2 ** np.arange(k - 1, -1, -1),
+                                        jnp.int32)
+
+    @property
+    def constellation(self):
+        return self._constellation
+
+    def call(self, bits, points=None):
+        k = self._constellation.num_bits_per_symbol
+        bits = jnp.asarray(bits)
+        new_shape = bits.shape[:-1] + (bits.shape[-1] // k, k)
+        bits_int = jnp.reshape(bits, new_shape).astype(jnp.int32)
+        ind = jnp.sum(bits_int * self._bit_weights, axis=-1)
+        pts = self._constellation(points)
+        x = jnp.take(pts, ind, axis=0)
+        if self._return_indices:
+            return x, ind
+        return x
+
+
+class SymbolLogits2LLRs(Block):
+    """Computes per-bit LLRs from symbol logits, "app" (logsumexp) or
+    "maxlog", with optional priors (reference mapping.py:794)."""
+
+    def __init__(self, method, num_bits_per_symbol, hard_out=False,
+                 precision=None, **kwargs):
+        super().__init__(precision=precision, **kwargs)
+        if method not in ("app", "maxlog"):
+            raise ValueError("Unknown demapping method")
+        self._method = method
+        self._hard_out = bool(hard_out)
+        self._num_bits_per_symbol = int(num_bits_per_symbol)
+        labels = _binary_labels(num_bits_per_symbol)  # [2^K, K]
+        # mask[c, k] = True where bit k of label(c) == 1
+        self._bit1_mask = jnp.asarray(labels == 1)            # [2^K, K]
+        # +-1 labels for prior computation
+        self._pm1 = jnp.asarray(2 * labels - 1)               # [2^K, K]
+
+    @property
+    def num_bits_per_symbol(self):
+        return self._num_bits_per_symbol
+
+    def call(self, logits, prior=None):
+        logits = jnp.asarray(logits, self.rdtype)  # [..., num_points]
+        if prior is not None:
+            prior = jnp.asarray(prior, self.rdtype)
+            # log Pr(c | p) = sum_k logsigmoid(p_k * l(c)_k)
+            prior_e = expand_to_rank(prior, logits.ndim, axis=0)
+            # [..., K] -> [..., 1, K] to broadcast over points
+            lp = jax.nn.log_sigmoid(
+                prior_e[..., None, :] * self._pm1)  # [..., 2^K, K]
+            logits = logits + jnp.sum(lp, axis=-1)
+
+        # Split into bit=1 / bit=0 reductions per bit position.
+        # logits: [..., 2^K] ; bit1_mask: [2^K, K]
+        x = logits[..., None]  # [..., 2^K, 1]
+        neg_inf = jnp.asarray(-jnp.inf, self.rdtype)
+        logits1 = jnp.where(self._bit1_mask, x, neg_inf)
+        logits0 = jnp.where(self._bit1_mask, neg_inf, x)
+        if self._method == "app":
+            llr = (jax.scipy.special.logsumexp(logits1, axis=-2)
+                   - jax.scipy.special.logsumexp(logits0, axis=-2))
+        else:
+            llr = (jnp.max(logits1, axis=-2) - jnp.max(logits0, axis=-2))
+        if self._hard_out:
+            return (llr > 0).astype(self.rdtype)
+        return llr
+
+
+class Demapper(Block):
+    """Computes LLRs (or hard bits) for received symbols
+    (reference mapping.py:521)."""
+
+    def __init__(self, demapping_method, constellation_type=None,
+                 num_bits_per_symbol=None, constellation=None,
+                 hard_out=False, precision=None, **kwargs):
+        super().__init__(precision=precision, **kwargs)
+        self._constellation = Constellation.check_or_create(
+            constellation_type=constellation_type,
+            num_bits_per_symbol=num_bits_per_symbol,
+            constellation=constellation, precision=precision)
+        num_bits_per_symbol = self._constellation.num_bits_per_symbol
+        self._logits2llrs = SymbolLogits2LLRs(
+            demapping_method, num_bits_per_symbol, hard_out=hard_out,
+            precision=precision)
+        self._no_threshold = float(np.finfo(self.np_rdtype).tiny)
+
+    @property
+    def constellation(self):
+        return self._constellation
+
+    def call(self, y, no, prior=None, points=None):
+        y = jnp.asarray(y, self.cdtype)
+        pts = self._constellation(points)
+        pts_b = expand_to_rank(pts, y.ndim + 1, axis=0)
+        squared_dist = jnp.abs(y[..., None] - pts_b) ** 2
+        no = jnp.asarray(no, self.rdtype)
+        no = jnp.maximum(expand_to_rank(no, y.ndim, axis=0)[..., None],
+                         self._no_threshold)
+        exponents = -squared_dist / no
+        llr = self._logits2llrs(exponents, prior)
+        out_shape = y.shape[:-1] + (
+            y.shape[-1] * self._constellation.num_bits_per_symbol,)
+        return jnp.reshape(llr, out_shape)
+
+
+class SymbolDemapper(Block):
+    """Computes symbol-level logits (or hard symbol decisions) for
+    received symbols (reference mapping.py:693)."""
+
+    def __init__(self, constellation_type=None, num_bits_per_symbol=None,
+                 constellation=None, hard_out=False, precision=None,
+                 **kwargs):
+        super().__init__(precision=precision, **kwargs)
+        self._constellation = Constellation.check_or_create(
+            constellation_type=constellation_type,
+            num_bits_per_symbol=num_bits_per_symbol,
+            constellation=constellation, precision=precision)
+        self._hard_out = bool(hard_out)
+
+    def call(self, y, no, prior=None, points=None):
+        y = jnp.asarray(y, self.cdtype)
+        pts = self._constellation(points)
+        pts_b = expand_to_rank(pts, y.ndim + 1, axis=0)
+        squared_dist = jnp.abs(y[..., None] - pts_b) ** 2
+        no = jnp.asarray(no, self.rdtype)
+        no = expand_to_rank(no, y.ndim, axis=0)[..., None]
+        logits = -squared_dist / no
+        if prior is not None:
+            prior = jnp.asarray(prior, self.rdtype)
+            logits = logits + expand_to_rank(prior, logits.ndim, axis=0)
+        if self._hard_out:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return jax.nn.log_softmax(logits, axis=-1)
+
+
+class LLRs2SymbolLogits(Block):
+    """Computes symbol logits from per-bit LLRs
+    (reference mapping.py:969)."""
+
+    def __init__(self, num_bits_per_symbol, hard_out=False, precision=None,
+                 **kwargs):
+        super().__init__(precision=precision, **kwargs)
+        self._num_bits_per_symbol = int(num_bits_per_symbol)
+        self._hard_out = bool(hard_out)
+        labels = _binary_labels(num_bits_per_symbol)
+        self._pm1 = jnp.asarray(2 * labels - 1)  # [2^K, K]
+
+    @property
+    def num_bits_per_symbol(self):
+        return self._num_bits_per_symbol
+
+    def call(self, llrs):
+        llrs = jnp.asarray(llrs, self.rdtype)  # [..., n, K]
+        logits = jnp.sum(
+            jax.nn.log_sigmoid(llrs[..., None, :] * self._pm1), axis=-1)
+        if self._hard_out:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return logits
+
+
+class SymbolLogits2Moments(Block):
+    """Computes mean and variance of a constellation given symbol
+    logits (reference mapping.py:1061)."""
+
+    def __init__(self, constellation_type=None, num_bits_per_symbol=None,
+                 constellation=None, precision=None, **kwargs):
+        super().__init__(precision=precision, **kwargs)
+        self._constellation = Constellation.check_or_create(
+            constellation_type=constellation_type,
+            num_bits_per_symbol=num_bits_per_symbol,
+            constellation=constellation, precision=precision)
+
+    def call(self, logits, points=None):
+        logits = jnp.asarray(logits, self.rdtype)
+        pts = self._constellation(points)
+        p = jax.nn.softmax(logits, axis=-1)
+        pc = p.astype(self.cdtype)
+        mean = jnp.sum(pc * pts, axis=-1)
+        var = jnp.sum(p * jnp.abs(pts[None, :]
+                                  - mean[..., None]) ** 2, axis=-1)
+        return mean, var
+
+
+class SymbolInds2Bits(Block):
+    """Maps symbol indices to their binary labels
+    (reference mapping.py:1141)."""
+
+    def __init__(self, num_bits_per_symbol, precision=None, **kwargs):
+        super().__init__(precision=precision, **kwargs)
+        labels = _binary_labels(num_bits_per_symbol)
+        self._labels = jnp.asarray(labels)
+
+    def call(self, symbol_ind):
+        labels = self._labels.astype(self.rdtype)
+        return jnp.take(labels, jnp.asarray(symbol_ind), axis=0)
+
+
+class QAM2PAM(Object):
+    """Splits QAM symbol indices into two PAM indices (real, imag)
+    (reference mapping.py:1181)."""
+
+    def __init__(self, num_bits_per_symbol, **kwargs):
+        super().__init__(**kwargs)
+        if num_bits_per_symbol % 2 != 0:
+            raise ValueError("num_bits_per_symbol must be even")
+        k = num_bits_per_symbol
+        labels = _binary_labels(k)
+        half = k // 2
+        w = 2 ** np.arange(half - 1, -1, -1)
+        ind1 = (labels[:, 0::2] * w).sum(-1)
+        ind2 = (labels[:, 1::2] * w).sum(-1)
+        self._ind1 = jnp.asarray(ind1, jnp.int32)
+        self._ind2 = jnp.asarray(ind2, jnp.int32)
+
+    def __call__(self, ind_qam):
+        ind_qam = jnp.asarray(ind_qam)
+        return (jnp.take(self._ind1, ind_qam, axis=0),
+                jnp.take(self._ind2, ind_qam, axis=0))
+
+
+class PAM2QAM(Object):
+    """Combines two PAM indices (or logit vectors) into QAM indices
+    (or logits) (reference mapping.py:1234)."""
+
+    def __init__(self, num_bits_per_symbol, hard_in_out=True, **kwargs):
+        super().__init__(**kwargs)
+        if num_bits_per_symbol % 2 != 0:
+            raise ValueError("num_bits_per_symbol must be even")
+        self._hard = bool(hard_in_out)
+        k = num_bits_per_symbol
+        half = k // 2
+        # qam_index[p1, p2]: interleave the bits of p1 (even positions)
+        # and p2 (odd positions)
+        n_half = 2 ** half
+        labels_half = _binary_labels(half)
+        qam_ind = np.zeros((n_half, n_half), np.int32)
+        for p1 in range(n_half):
+            for p2 in range(n_half):
+                bits = np.zeros(k, np.int32)
+                bits[0::2] = labels_half[p1]
+                bits[1::2] = labels_half[p2]
+                qam_ind[p1, p2] = int((bits * 2 ** np.arange(k - 1, -1, -1)
+                                       ).sum())
+        self._qam_ind = jnp.asarray(qam_ind)
+        self._num_points = 2 ** k
+
+    def __call__(self, pam1, pam2):
+        pam1 = jnp.asarray(pam1)
+        pam2 = jnp.asarray(pam2)
+        if self._hard:
+            return self._qam_ind[pam1, pam2]
+        # soft: combine logits over PAM points into logits over QAM
+        logits = pam1[..., :, None] + pam2[..., None, :]
+        flat = jnp.reshape(logits,
+                           logits.shape[:-2] + (self._num_points,))
+        perm = jnp.reshape(self._qam_ind, (-1,))
+        inv = jnp.zeros_like(perm).at[perm].set(
+            jnp.arange(self._num_points, dtype=perm.dtype))
+        return jnp.take(flat, inv, axis=-1)
+
+
+class BinarySource(Block):
+    """Random binary tensor source (reference mapping.py:1317).
+
+    Call with a shape; optionally pass ``key`` for functional use.
+    """
+
+    def __init__(self, precision=None, seed=None, **kwargs):
+        super().__init__(precision=precision, **kwargs)
+        self._seed = seed
+        self._count = 0
+
+    def call(self, inputs, key=None):
+        shape = tuple(int(s) for s in np.asarray(inputs).reshape(-1))
+        if key is None:
+            if self._seed is not None:
+                self._count += 1
+                key = jax.random.fold_in(
+                    jax.random.PRNGKey(self._seed), self._count)
+            else:
+                key = config.next_key()
+        bits = jax.random.bernoulli(key, 0.5, shape)
+        return bits.astype(self.rdtype)
+
+
+class SymbolSource(Block):
+    """Random constellation symbol source (reference mapping.py:1354)."""
+
+    def __init__(self, constellation_type=None, num_bits_per_symbol=None,
+                 constellation=None, return_indices=False,
+                 return_bits=False, seed=None, precision=None, **kwargs):
+        super().__init__(precision=precision, **kwargs)
+        constellation = Constellation.check_or_create(
+            constellation_type=constellation_type,
+            num_bits_per_symbol=num_bits_per_symbol,
+            constellation=constellation, precision=precision)
+        self._num_bits_per_symbol = constellation.num_bits_per_symbol
+        self._return_indices = bool(return_indices)
+        self._return_bits = bool(return_bits)
+        self._binary_source = BinarySource(seed=seed, precision=precision)
+        self._mapper = Mapper(constellation=constellation,
+                              return_indices=True, precision=precision)
+
+    def call(self, inputs, key=None):
+        shape = tuple(int(s) for s in np.asarray(inputs).reshape(-1))
+        bit_shape = shape[:-1] + (shape[-1] * self._num_bits_per_symbol,)
+        b = self._binary_source(list(bit_shape), key=key)
+        x, ind = self._mapper(b)
+        result = (x,)
+        if self._return_indices:
+            result += (ind,)
+        if self._return_bits:
+            result += (b,)
+        return result[0] if len(result) == 1 else result
+
+
+class QAMSource(SymbolSource):
+    """Random QAM symbol source (reference mapping.py:1452)."""
+
+    def __init__(self, num_bits_per_symbol=None, return_indices=False,
+                 return_bits=False, seed=None, precision=None, **kwargs):
+        super().__init__(constellation_type="qam",
+                         num_bits_per_symbol=num_bits_per_symbol,
+                         return_indices=return_indices,
+                         return_bits=return_bits, seed=seed,
+                         precision=precision, **kwargs)
+
+
+class PAMSource(SymbolSource):
+    """Random PAM symbol source (reference mapping.py:1516)."""
+
+    def __init__(self, num_bits_per_symbol=None, return_indices=False,
+                 return_bits=False, seed=None, precision=None, **kwargs):
+        super().__init__(constellation_type="pam",
+                         num_bits_per_symbol=num_bits_per_symbol,
+                         return_indices=return_indices,
+                         return_bits=return_bits, seed=seed,
+                         precision=precision, **kwargs)

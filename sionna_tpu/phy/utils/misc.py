@@ -1,0 +1,224 @@
+"""Miscellaneous utilities (API parity with reference
+src/sionna/phy/utils/misc.py; fresh JAX implementations).
+
+The Monte-Carlo driver ``sim_ber`` lives in ``sim.py`` and is re-exported
+from the utils package.
+"""
+
+from abc import ABC, abstractmethod
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import config, dtypes
+from ..block import Block
+
+
+def complex_normal(shape, var=1.0, precision=None, key=None):
+    """Circularly-symmetric complex Gaussian samples with total variance
+    ``var`` (reference misc.py:19)."""
+    if precision is None:
+        cdtype = config.cdtype
+        rdtype = config.rdtype
+    else:
+        cdtype = dtypes[precision]["jax"]["cdtype"]
+        rdtype = dtypes[precision]["jax"]["rdtype"]
+    if key is None:
+        key = config.next_key()
+    kr, ki = jax.random.split(key)
+    stddev = jnp.sqrt(jnp.asarray(var, rdtype) / 2)
+    xr = stddev * jax.random.normal(kr, shape, dtype=rdtype)
+    xi = stddev * jax.random.normal(ki, shape, dtype=rdtype)
+    return (xr + 1j * xi).astype(cdtype)
+
+
+def lin_to_db(x, precision=None):
+    """Linear scale to dB (reference misc.py:57)."""
+    rdtype = config.rdtype if precision is None \
+        else dtypes[precision]["jax"]["rdtype"]
+    x = jnp.asarray(x, rdtype)
+    return 10 * jnp.log10(x)
+
+
+def db_to_lin(x, precision=None):
+    """dB to linear scale (reference misc.py:87)."""
+    rdtype = config.rdtype if precision is None \
+        else dtypes[precision]["jax"]["rdtype"]
+    x = jnp.asarray(x, rdtype)
+    return jnp.power(jnp.asarray(10.0, rdtype), x / 10)
+
+
+def watt_to_dbm(x_w, precision=None):
+    """Watt to dBm (reference misc.py:117)."""
+    rdtype = config.rdtype if precision is None \
+        else dtypes[precision]["jax"]["rdtype"]
+    x_w = jnp.asarray(x_w, rdtype)
+    return 10 * jnp.log10(x_w) + 30
+
+
+def dbm_to_watt(x_dbm, precision=None):
+    """dBm to Watt (reference misc.py:144)."""
+    rdtype = config.rdtype if precision is None \
+        else dtypes[precision]["jax"]["rdtype"]
+    x_dbm = jnp.asarray(x_dbm, rdtype)
+    return jnp.power(jnp.asarray(10.0, rdtype), (x_dbm - 30) / 10)
+
+
+def ebnodb2no(ebno_db, num_bits_per_symbol, coderate, resource_grid=None,
+              precision=None):
+    """Noise variance ``No`` for a given ``Eb/No`` in dB, accounting for
+    coderate, bits/symbol, and optional OFDM overheads
+    (reference misc.py:171)."""
+    rdtype = config.rdtype if precision is None \
+        else dtypes[precision]["jax"]["rdtype"]
+    ebno_db = jnp.asarray(ebno_db, rdtype)
+    coderate = jnp.asarray(coderate, rdtype)
+    ebno = jnp.power(jnp.asarray(10.0, rdtype), ebno_db / 10)
+
+    energy_per_symbol = 1.0
+    if resource_grid is not None:
+        energy_per_symbol /= resource_grid.num_streams_per_tx
+        cp_overhead = (resource_grid.cyclic_prefix_length
+                       / resource_grid.fft_size)
+        num_syms = (resource_grid.num_ofdm_symbols * (1 + cp_overhead)
+                    * resource_grid.num_effective_subcarriers)
+        energy_per_symbol *= num_syms / resource_grid.num_data_symbols
+
+    no = 1 / (ebno * coderate * jnp.asarray(num_bits_per_symbol, rdtype)
+              / jnp.asarray(energy_per_symbol, rdtype))
+    return no
+
+
+def hard_decisions(llr):
+    """Elementwise hard decision: 1 if llr > 0 else 0, same dtype as
+    input (reference misc.py:254)."""
+    llr = jnp.asarray(llr)
+    return (llr > 0).astype(llr.dtype)
+
+
+def log10(x):
+    """Base-10 logarithm (reference misc.py:274)."""
+    return jnp.log10(jnp.asarray(x))
+
+
+def log2(x):
+    """Base-2 logarithm (reference misc.py:285)."""
+    return jnp.log2(jnp.asarray(x))
+
+
+def sample_bernoulli(shape, p, precision=None, key=None):
+    """Bernoulli(p) samples of the given shape (reference misc.py:296)."""
+    rdtype = config.rdtype if precision is None \
+        else dtypes[precision]["jax"]["rdtype"]
+    if key is None:
+        key = config.next_key()
+    p = jnp.asarray(p, rdtype)
+    u = jax.random.uniform(key, shape, dtype=rdtype)
+    return (u < p).astype(rdtype)
+
+
+def to_list(x):
+    """Converts scalars/arrays to a Python list (reference misc.py:868)."""
+    if x is None:
+        return None
+    if isinstance(x, (list, tuple)):
+        return list(x)
+    if np.isscalar(x):
+        return [x]
+    return np.asarray(x).reshape(-1).tolist()
+
+
+def dict_keys_to_int(x):
+    """Recursively converts numeric dict keys to int
+    (reference misc.py:892)."""
+    if not isinstance(x, dict):
+        return x
+    out = {}
+    for k, v in x.items():
+        try:
+            k = int(k)
+        except (ValueError, TypeError):
+            pass
+        out[k] = dict_keys_to_int(v)
+    return out
+
+
+def scalar_to_shaped_tensor(inp, dtype, shape):
+    """Broadcasts a scalar to ``shape``, or validates/casts an existing
+    tensor (reference misc.py:932)."""
+    if np.isscalar(inp) or (hasattr(inp, "ndim") and inp.ndim == 0):
+        return jnp.full(shape, inp, dtype=dtype)
+    return jnp.asarray(inp, dtype)
+
+
+class DeepUpdateDict(dict):
+    """dict with recursive merge (reference misc.py:966)."""
+
+    def deep_update(self, delta):
+        for k, v in delta.items():
+            if (k in self and isinstance(self[k], dict)
+                    and isinstance(v, dict)):
+                if not isinstance(self[k], DeepUpdateDict):
+                    self[k] = DeepUpdateDict(self[k])
+                self[k].deep_update(v)
+            else:
+                self[k] = v
+
+
+class Interpolate(ABC):
+    """Abstract 2D interpolation onto fine grids (reference misc.py:1055)."""
+
+    @abstractmethod
+    def __call__(self, x, y, z, x_interp, y_interp):
+        ...
+
+
+class SplineGriddataInterpolation(Interpolate):
+    """Spline + griddata interpolation via SciPy, host/offline only
+    (reference misc.py:1147). Used for BLER table construction."""
+
+    def __call__(self, mat, id1, id2, x_interp, y_interp):
+        from scipy.interpolate import RectBivariateSpline
+        x = np.asarray(id1, np.float64)
+        y = np.asarray(id2, np.float64)
+        z = np.asarray(mat, np.float64)
+        kx = min(3, len(x) - 1)
+        ky = min(3, len(y) - 1)
+        spline = RectBivariateSpline(x, y, z, kx=kx, ky=ky)
+        out = spline(np.asarray(x_interp, np.float64),
+                     np.asarray(y_interp, np.float64))
+        return jnp.asarray(out)
+
+
+class MCSDecoder(Block):
+    """Abstract MCS-index -> (modulation order, coderate) mapping
+    (reference misc.py:1279)."""
+
+    def call(self, mcs_index, mcs_table_index, mcs_category, *,
+             check_index_validity=True):
+        raise NotImplementedError
+
+
+class TransportBlock(Block):
+    """Abstract (modulation order, coderate) -> (TB size, CB size)
+    mapping (reference misc.py:1321)."""
+
+    def call(self, modulation_order, target_rate, num_coded_bits):
+        raise NotImplementedError
+
+
+class SingleLinkChannel(Block):
+    """Abstract single-link coded channel for BLER table generation
+    (reference misc.py:1358)."""
+
+    def __init__(self, num_bits_per_symbol, num_info_bits, target_coderate,
+                 precision=None, **kwargs):
+        super().__init__(precision=precision, **kwargs)
+        self.num_bits_per_symbol = num_bits_per_symbol
+        self.num_info_bits = num_info_bits
+        self.target_coderate = target_coderate
+
+    def call(self, batch_size, ebno_db):
+        raise NotImplementedError
