@@ -1,0 +1,445 @@
+"""LDPC belief-propagation decoding (reference:
+src/sionna/phy/fec/ldpc/decoding.py:13,1169).
+
+TPU-native design: the reference stores messages in tf.RaggedTensors
+and scatters per iteration (decoding.py:471-517). Here the graph is a
+static edge list; each iteration is
+
+* variable marginals  = channel LLR + segment-sum of c2v (one
+  scatter-add with statically known indices),
+* v2c               = marginal[var] - c2v (gather),
+* check update       = two-pass segment-min (min + second-min) with a
+  sign product via parity of negative counts,
+
+all shapes fixed, iterated with ``lax.fori_loop`` and fully batched -
+XLA fuses the elementwise chains between the segment ops. LLRs follow
+the package logit convention log(P1/P0); internally the classic
+log(P0/P1) convention is used (input negated on entry/exit, as in the
+reference).
+"""
+
+import numpy as np
+import scipy.sparse as sp_sparse
+
+import jax
+import jax.numpy as jnp
+
+from ...block import Block
+from .encoding import LDPC5GEncoder
+
+__all__ = ["LDPCBPDecoder", "LDPC5GDecoder", "cn_update_minsum",
+           "cn_update_offset_minsum", "cn_update_tanh", "cn_update_phi",
+           "vn_update_sum"]
+
+
+# ----------------------------------------------------------------------
+# Edge-domain update functions.
+#
+# All cn_update_* functions have signature
+#   (v2c [..., E], cn_idx [E], num_cns, llr_clipping) -> c2v [..., E]
+# operating in the classic log(P0/P1) convention.
+# ----------------------------------------------------------------------
+
+def _segment_sum(x, idx, num_segments, sorted_):
+    return jax.ops.segment_sum(x, idx, num_segments=num_segments,
+                               indices_are_sorted=sorted_)
+
+
+def _segment_min(x, idx, num_segments, sorted_):
+    return jax.ops.segment_min(x, idx, num_segments=num_segments,
+                               indices_are_sorted=sorted_)
+
+
+def _sign_product(v2c, cn_idx, num_cns, sorted_):
+    """Extrinsic sign per edge: product of signs of all other edges of
+    the same check node. Uses parity of the count of negative inputs."""
+    neg = (v2c < 0).astype(jnp.int32)
+    vmap_last = lambda f: jax.vmap(f) if v2c.ndim == 2 else f
+    if v2c.ndim == 2:
+        total_neg = jax.vmap(
+            lambda row: _segment_sum(row, cn_idx, num_cns, sorted_))(neg)
+    else:
+        total_neg = _segment_sum(neg, cn_idx, num_cns, sorted_)
+    # parity excluding own edge
+    ext_neg = jnp.take(total_neg, cn_idx, axis=-1) - neg
+    return 1.0 - 2.0 * (ext_neg % 2).astype(v2c.dtype)
+
+
+def _two_min(mag, cn_idx, num_cns, sorted_):
+    """Per-edge extrinsic minimum of |v2c| over the other edges of the
+    same CN (the classic min / second-min trick)."""
+    big = jnp.asarray(jnp.finfo(mag.dtype).max, mag.dtype)
+    if mag.ndim == 2:
+        seg_min = jax.vmap(
+            lambda row: _segment_min(row, cn_idx, num_cns, sorted_))(mag)
+    else:
+        seg_min = _segment_min(mag, cn_idx, num_cns, sorted_)
+    m1_e = jnp.take(seg_min, cn_idx, axis=-1)
+    masked = jnp.where(mag == m1_e, big, mag)
+    if mag.ndim == 2:
+        seg_min2 = jax.vmap(
+            lambda row: _segment_min(row, cn_idx, num_cns, sorted_))(masked)
+    else:
+        seg_min2 = _segment_min(masked, cn_idx, num_cns, sorted_)
+    m2_e = jnp.take(seg_min2, cn_idx, axis=-1)
+    # if this edge attains the (possibly tied) minimum, the extrinsic
+    # min is the second distinct min only when the edge is the UNIQUE
+    # minimizer; ties keep m1.
+    if mag.ndim == 2:
+        cnt = jax.vmap(lambda row: _segment_sum(
+            row, cn_idx, num_cns, sorted_))(
+                (mag == m1_e).astype(jnp.int32))
+    else:
+        cnt = _segment_sum((mag == m1_e).astype(jnp.int32), cn_idx,
+                           num_cns, sorted_)
+    cnt_e = jnp.take(cnt, cn_idx, axis=-1)
+    is_min = mag == m1_e
+    unique_min = jnp.logical_and(is_min, cnt_e == 1)
+    return jnp.where(unique_min, m2_e, m1_e)
+
+
+def cn_update_minsum(v2c, cn_idx, num_cns, llr_clipping=None,
+                     sorted_=True):
+    """Min-sum check node update (reference decoding.py:911)."""
+    sign = _sign_product(v2c, cn_idx, num_cns, sorted_)
+    mag = jnp.abs(v2c)
+    ext = _two_min(mag, cn_idx, num_cns, sorted_)
+    c2v = sign * ext
+    if llr_clipping is not None:
+        c2v = jnp.clip(c2v, -llr_clipping, llr_clipping)
+    return c2v
+
+
+def cn_update_offset_minsum(v2c, cn_idx, num_cns, llr_clipping=None,
+                            offset=0.5, sorted_=True):
+    """Offset-corrected min-sum (reference decoding.py:755)."""
+    sign = _sign_product(v2c, cn_idx, num_cns, sorted_)
+    mag = jnp.abs(v2c)
+    ext = _two_min(mag, cn_idx, num_cns, sorted_)
+    ext = jnp.maximum(ext - offset, 0.0)
+    c2v = sign * ext
+    if llr_clipping is not None:
+        c2v = jnp.clip(c2v, -llr_clipping, llr_clipping)
+    return c2v
+
+
+def cn_update_tanh(v2c, cn_idx, num_cns, llr_clipping=None, sorted_=True):
+    """Exact boxplus via the tanh rule (reference decoding.py:955)."""
+    sign = _sign_product(v2c, cn_idx, num_cns, sorted_)
+    # log|tanh(x/2)| sums; guard against 0
+    mag = jnp.abs(v2c)
+    eps = jnp.asarray(1e-12, v2c.dtype)
+    logtanh = jnp.log(jnp.maximum(jnp.tanh(mag / 2), eps))
+    if v2c.ndim == 2:
+        total = jax.vmap(lambda row: _segment_sum(
+            row, cn_idx, num_cns, sorted_))(logtanh)
+    else:
+        total = _segment_sum(logtanh, cn_idx, num_cns, sorted_)
+    ext = jnp.take(total, cn_idx, axis=-1) - logtanh
+    # 2 atanh(exp(ext)); clip to keep atanh finite
+    e = jnp.exp(ext)
+    e = jnp.minimum(e, 1 - 1e-7)
+    c2v = sign * 2 * jnp.arctanh(e)
+    if llr_clipping is not None:
+        c2v = jnp.clip(c2v, -llr_clipping, llr_clipping)
+    return c2v
+
+
+def _phi(x, dtype):
+    """phi(x) = -log(tanh(x/2)), self-inverse on x > 0."""
+    x = jnp.clip(x, 8.5e-8, 16.635532)
+    return -jnp.log(jnp.tanh(x / 2))
+
+
+def cn_update_phi(v2c, cn_idx, num_cns, llr_clipping=None, sorted_=True):
+    """Boxplus-phi update (reference decoding.py:1045)."""
+    sign = _sign_product(v2c, cn_idx, num_cns, sorted_)
+    ph = _phi(jnp.abs(v2c), v2c.dtype)
+    if v2c.ndim == 2:
+        total = jax.vmap(lambda row: _segment_sum(
+            row, cn_idx, num_cns, sorted_))(ph)
+    else:
+        total = _segment_sum(ph, cn_idx, num_cns, sorted_)
+    ext = jnp.take(total, cn_idx, axis=-1) - ph
+    c2v = sign * _phi(ext, v2c.dtype)
+    if llr_clipping is not None:
+        c2v = jnp.clip(c2v, -llr_clipping, llr_clipping)
+    return c2v
+
+
+def vn_update_sum(c2v, llr_ch, vn_idx, num_vns, llr_clipping=None):
+    """Variable node update: marginal minus incoming
+    (reference decoding.py:681). Returns (v2c, marginals)."""
+    if c2v.ndim == 2:
+        total = jax.vmap(lambda row: jax.ops.segment_sum(
+            row, vn_idx, num_segments=num_vns))(c2v)
+    else:
+        total = jax.ops.segment_sum(c2v, vn_idx, num_segments=num_vns)
+    marg = total + llr_ch
+    v2c = jnp.take(marg, vn_idx, axis=-1) - c2v
+    if llr_clipping is not None:
+        v2c = jnp.clip(v2c, -llr_clipping, llr_clipping)
+        marg = jnp.clip(marg, -llr_clipping, llr_clipping)
+    return v2c, marg
+
+
+_CN_UPDATES = {
+    "minsum": cn_update_minsum,
+    "offset-minsum": cn_update_offset_minsum,
+    "boxplus": cn_update_tanh,
+    "boxplus-phi": cn_update_phi,
+}
+
+
+class LDPCBPDecoder(Block):
+    """Flooding belief-propagation decoder for arbitrary parity-check
+    matrices (reference decoding.py:13).
+
+    Input llr_ch [..., n] in the logit convention log(P(b=1)/P(b=0));
+    output soft LLRs (same convention) or hard bits of shape [..., n].
+    """
+
+    def __init__(self, pcm, cn_update="boxplus-phi", vn_update="sum",
+                 cn_schedule="flooding", hard_out=True, num_iter=20,
+                 llr_max=20., v2c_callbacks=None, c2v_callbacks=None,
+                 return_state=False, precision=None, **kwargs):
+        super().__init__(precision=precision, **kwargs)
+        if isinstance(pcm, np.ndarray):
+            pcm = sp_sparse.csr_matrix(pcm)
+        elif not sp_sparse.issparse(pcm):
+            raise TypeError("Unsupported dtype of pcm.")
+        pcm = pcm.tocsr()
+        if not np.all(np.isin(pcm.data, [0, 1])):
+            raise ValueError("PC matrix must be binary.")
+        self._pcm = pcm
+        self._num_cns, self._num_vns = pcm.shape
+
+        coo = pcm.tocoo()
+        order = np.lexsort((coo.col, coo.row))  # row-major edge order
+        self._cn_idx = jnp.asarray(coo.row[order], jnp.int32)
+        self._vn_idx = jnp.asarray(coo.col[order], jnp.int32)
+        self._num_edges = len(coo.row)
+
+        if not isinstance(hard_out, bool):
+            raise TypeError("hard_out must be bool.")
+        if not isinstance(num_iter, int) or num_iter < 0:
+            raise ValueError("num_iter must be a nonnegative int.")
+        self._hard_out = hard_out
+        self._num_iter = num_iter
+        self._llr_max = float(llr_max)
+        self._return_state = bool(return_state)
+
+        if callable(cn_update):
+            self._cn_update = cn_update
+        elif cn_update in _CN_UPDATES:
+            self._cn_update = _CN_UPDATES[cn_update]
+        else:
+            raise ValueError(f"Unknown cn_update: {cn_update}")
+        if vn_update != "sum" and not callable(vn_update):
+            raise ValueError(f"Unknown vn_update: {vn_update}")
+        self._vn_update_fn = vn_update if callable(vn_update) \
+            else vn_update_sum
+
+        if isinstance(cn_schedule, str) and cn_schedule == "flooding":
+            self._scheduling = "flooding"
+        else:
+            raise NotImplementedError(
+                "Only flooding schedule is currently supported; the "
+                "5G-layered schedule lands with the lifted fast path.")
+
+        self._v2c_callbacks = list(v2c_callbacks or [])
+        self._c2v_callbacks = list(c2v_callbacks or [])
+
+    # ------------------------------------------------------------------
+    @property
+    def pcm(self):
+        return self._pcm
+
+    @property
+    def num_cns(self):
+        return self._num_cns
+
+    @property
+    def num_vns(self):
+        return self._num_vns
+
+    @property
+    def n(self):
+        return self._num_vns
+
+    @property
+    def coderate(self):
+        return (self._num_vns - self._num_cns) / self._num_vns
+
+    @property
+    def num_edges(self):
+        return self._num_edges
+
+    @property
+    def num_iter(self):
+        return self._num_iter
+
+    @num_iter.setter
+    def num_iter(self, v):
+        self._num_iter = int(v)
+
+    @property
+    def llr_max(self):
+        return self._llr_max
+
+    @llr_max.setter
+    def llr_max(self, value):
+        self._llr_max = float(value)
+
+    @property
+    def return_state(self):
+        return self._return_state
+
+    # ------------------------------------------------------------------
+    def call(self, llr_ch, /, *, num_iter=None, msg_v2c=None):
+        llr_ch = jnp.asarray(llr_ch, self.rdtype)
+        in_shape = llr_ch.shape
+        llr = jnp.reshape(llr_ch, (-1, self._num_vns))
+        batch = llr.shape[0]
+        if num_iter is None:
+            num_iter = self._num_iter
+
+        # internal classic convention log(P0/P1)
+        llr_int = -jnp.clip(llr, -self._llr_max, self._llr_max)
+
+        cn_idx, vn_idx = self._cn_idx, self._vn_idx
+        num_cns, num_vns = self._num_cns, self._num_vns
+        clip = self._llr_max
+
+        if msg_v2c is None:
+            v2c0 = jnp.take(llr_int, vn_idx, axis=-1)
+        else:
+            v2c0 = -jnp.reshape(msg_v2c, (batch, self._num_edges))
+
+        cn_update = self._cn_update
+        vn_update = self._vn_update_fn
+        v2c_cbs = self._v2c_callbacks
+        c2v_cbs = self._c2v_callbacks
+
+        def body(it, state):
+            v2c, _ = state
+            for cb in v2c_cbs:
+                v2c = cb(v2c, it)
+            c2v = cn_update(v2c, cn_idx, num_cns, llr_clipping=clip)
+            for cb in c2v_cbs:
+                c2v = cb(c2v, it)
+            v2c_new, marg = vn_update(c2v, llr_int, vn_idx, num_vns,
+                                      llr_clipping=clip)
+            return v2c_new, marg
+
+        init_marg = llr_int
+        v2c, marg = jax.lax.fori_loop(0, num_iter, body, (v2c0, init_marg))
+
+        # convert back to logit convention
+        llr_out = -marg
+        if self._hard_out:
+            out = (llr_out > 0).astype(self.rdtype)
+        else:
+            out = llr_out
+        out = jnp.reshape(out, in_shape)
+        if self._return_state:
+            return out, -v2c
+        return out
+
+
+class LDPC5GDecoder(LDPCBPDecoder):
+    """5G NR LDPC decoder with rate recovery for an associated
+    :class:`LDPC5GEncoder` (reference decoding.py:1169)."""
+
+    def __init__(self, encoder, cn_update="boxplus-phi", vn_update="sum",
+                 cn_schedule="flooding", hard_out=True,
+                 return_infobits=True, num_iter=20, llr_max=20.,
+                 v2c_callbacks=None, c2v_callbacks=None, prune_pcm=True,
+                 return_state=False, precision=None, **kwargs):
+        if not isinstance(encoder, LDPC5GEncoder):
+            raise TypeError("encoder must be of class LDPC5GEncoder.")
+        self._encoder = encoder
+        pcm = encoder.pcm
+        self._return_infobits = bool(return_infobits)
+        self._prune_pcm = bool(prune_pcm)
+
+        if prune_pcm:
+            # prune degree-1 parity VNs that are never transmitted
+            dv = np.asarray(pcm.sum(axis=0)).ravel()
+            last_pos = encoder.n_ldpc
+            for idx in range(encoder.n_ldpc - 1, 0, -1):
+                if dv[idx] == 1:
+                    last_pos = idx
+                else:
+                    break
+            k_filler = encoder.k_ldpc - encoder.k
+            nb_punc_bits = (encoder.n_ldpc - k_filler) - encoder.n \
+                - 2 * encoder.z
+            self._n_pruned = int(max(last_pos,
+                                     encoder.n_ldpc - nb_punc_bits))
+            self._nb_pruned_nodes = encoder.n_ldpc - self._n_pruned
+            if self._nb_pruned_nodes > 0:
+                pcm = pcm[:-self._nb_pruned_nodes, :-self._nb_pruned_nodes]
+        else:
+            self._nb_pruned_nodes = 0
+            self._n_pruned = encoder.n_ldpc
+
+        super().__init__(pcm, cn_update=cn_update, vn_update=vn_update,
+                         cn_schedule=cn_schedule, hard_out=hard_out,
+                         num_iter=num_iter, llr_max=llr_max,
+                         v2c_callbacks=v2c_callbacks,
+                         c2v_callbacks=c2v_callbacks,
+                         return_state=return_state, precision=precision,
+                         **kwargs)
+
+    @property
+    def encoder(self):
+        return self._encoder
+
+    def call(self, llr_ch, /, *, num_iter=None, msg_v2c=None):
+        llr_ch = jnp.asarray(llr_ch, self.rdtype)
+        in_shape = llr_ch.shape
+        enc = self._encoder
+        llr = jnp.reshape(llr_ch, (-1, enc.n))
+        batch = llr.shape[0]
+
+        if enc.num_bits_per_symbol is not None:
+            llr = jnp.take(llr, jnp.asarray(enc.out_int_inv), axis=-1)
+
+        # undo puncturing of first 2Z bits (zero LLR = unknown)
+        llr_5g = jnp.concatenate(
+            [jnp.zeros((batch, 2 * enc.z), self.rdtype), llr], axis=1)
+        k_filler = enc.k_ldpc - enc.k
+        nb_punc_bits = (enc.n_ldpc - k_filler) - enc.n - 2 * enc.z
+        llr_5g = jnp.concatenate(
+            [llr_5g, jnp.zeros(
+                (batch, nb_punc_bits - self._nb_pruned_nodes),
+                self.rdtype)], axis=1)
+        # filler bits are known zeros: strongly negative logit
+        x1 = llr_5g[:, :enc.k]
+        nb_par_bits = enc.n_ldpc - k_filler - enc.k - self._nb_pruned_nodes
+        x2 = llr_5g[:, enc.k:enc.k + nb_par_bits]
+        z_fill = -self._llr_max * jnp.ones((batch, k_filler), self.rdtype)
+        llr_5g = jnp.concatenate([x1, z_fill, x2], axis=1)
+
+        output = super().call(llr_5g, num_iter=num_iter, msg_v2c=msg_v2c)
+        if self._return_state:
+            x_hat, msg_v2c_out = output
+        else:
+            x_hat = output
+
+        if self._return_infobits:
+            u_hat = x_hat[:, :enc.k]
+            out = jnp.reshape(u_hat, tuple(in_shape[:-1]) + (enc.k,))
+        else:
+            x = jnp.reshape(x_hat, (batch, self._n_pruned))
+            x_no_filler = jnp.concatenate(
+                [x[:, :enc.k], x[:, enc.k_ldpc:]], axis=1)
+            x_short = x_no_filler[:, 2 * enc.z:2 * enc.z + enc.n]
+            if enc.num_bits_per_symbol is not None:
+                x_short = jnp.take(x_short, jnp.asarray(enc.out_int),
+                                   axis=-1)
+            out = jnp.reshape(x_short, in_shape)
+        if self._return_state:
+            return out, msg_v2c_out
+        return out
