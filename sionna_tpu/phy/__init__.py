@@ -12,3 +12,7 @@ from .mapping import (
     PAM2QAM, BinarySource, SymbolSource, QAMSource, PAMSource)
 from . import channel
 from .channel import AWGN
+from . import fec
+from . import signal
+from . import ofdm
+from . import mimo
