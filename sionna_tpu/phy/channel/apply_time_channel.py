@@ -38,7 +38,7 @@ class ApplyTimeChannel(Block):
         g = out_t - l
         g = np.where((g < 0) | (g >= num_time_samples),
                      num_time_samples, g)
-        self._g = jnp.asarray(g, jnp.int32)
+        self._g = g.astype(np.int32)
 
     def call(self, x, h_time, no=None, key=None):
         x = jnp.asarray(x, self.cdtype)
@@ -46,7 +46,7 @@ class ApplyTimeChannel(Block):
         # pad zero slot at the end of time axis
         x = jnp.pad(x, [(0, 0), (0, 0), (0, 0), (0, 1)])
         x = insert_dims(x, 2, axis=1)  # [b, 1, 1, tx, txa, T+1]
-        x = jnp.take(x, self._g, axis=-1)  # [b,1,1,tx,txa,T+L-1,L]
+        x = jnp.take(x, jnp.asarray(self._g), axis=-1)
         y = jnp.sum(h_time * x, axis=-1)
         y = jnp.sum(y, axis=(3, 4))
         if no is not None:

@@ -1,6 +1,8 @@
 """Spatial correlation models (reference:
 src/sionna/phy/channel/spatial_correlation.py:12,42,124)."""
 
+import numpy as np
+
 import jax.numpy as jnp
 
 from ..block import Object
@@ -30,7 +32,7 @@ class KroneckerModel(SpatialCorrelation):
 
     @r_rx.setter
     def r_rx(self, value):
-        self._r_rx = None if value is None else jnp.asarray(value)
+        self._r_rx = None if value is None else np.asarray(value)
         self._r_rx_sqrt = None if value is None \
             else _matrix_sqrt(self._r_rx)
 
@@ -40,17 +42,17 @@ class KroneckerModel(SpatialCorrelation):
 
     @r_tx.setter
     def r_tx(self, value):
-        self._r_tx = None if value is None else jnp.asarray(value)
+        self._r_tx = None if value is None else np.asarray(value)
         self._r_tx_sqrt = None if value is None \
             else _matrix_sqrt(self._r_tx)
 
     def __call__(self, h):
         h = jnp.asarray(h)
         if self._r_rx_sqrt is not None:
-            h = jnp.matmul(self._r_rx_sqrt.astype(h.dtype), h)
+            h = jnp.matmul(jnp.asarray(self._r_rx_sqrt, h.dtype), h)
         if self._r_tx_sqrt is not None:
             h = jnp.matmul(h, jnp.swapaxes(
-                self._r_tx_sqrt.astype(h.dtype), -2, -1))
+                jnp.asarray(self._r_tx_sqrt, h.dtype), -2, -1))
         return h
 
 
@@ -68,21 +70,23 @@ class PerColumnModel(SpatialCorrelation):
 
     @r_rx.setter
     def r_rx(self, value):
-        self._r_rx = jnp.asarray(value)  # [..., K, M, M]
+        self._r_rx = np.asarray(value)  # [..., K, M, M]
         self._r_rx_sqrt = _matrix_sqrt(self._r_rx)
 
     def __call__(self, h):
         h = jnp.asarray(h)
         # h: [..., M, K]; apply per-column matrices
         hc = jnp.swapaxes(h, -2, -1)[..., None]  # [..., K, M, 1]
-        hc = jnp.matmul(self._r_rx_sqrt.astype(h.dtype), hc)
+        hc = jnp.matmul(jnp.asarray(self._r_rx_sqrt, h.dtype), hc)
         return jnp.swapaxes(hc[..., 0], -2, -1)
 
 
 def _matrix_sqrt(r):
-    """Hermitian PSD matrix square root via eigendecomposition."""
-    w, v = jnp.linalg.eigh(r)
-    w = jnp.maximum(w, 0)
-    sqrt_w = jnp.sqrt(w).astype(r.dtype)
-    return jnp.matmul(v * sqrt_w[..., None, :],
-                      jnp.conjugate(jnp.swapaxes(v, -2, -1)))
+    """Hermitian PSD matrix square root via eigendecomposition
+    (host-side NumPy; correlation matrices are static config)."""
+    r = np.asarray(r)
+    w, v = np.linalg.eigh(r)
+    w = np.maximum(w, 0)
+    sqrt_w = np.sqrt(w).astype(r.dtype)
+    return np.matmul(v * sqrt_w[..., None, :],
+                     np.conj(np.swapaxes(v, -2, -1)))

@@ -86,8 +86,8 @@ class CRCEncoder(Block):
 
     def _get_pmat(self, k):
         if k not in self._pmats:
-            self._pmats[k] = jnp.asarray(
-                _crc_parity_matrix(k, self._crc_degree), jnp.float32)
+            self._pmats[k] = _crc_parity_matrix(
+                k, self._crc_degree).astype(np.float32)
         return self._pmats[k]
 
     def call(self, bits):
@@ -95,7 +95,7 @@ class CRCEncoder(Block):
         k = bits.shape[-1]
         self._k = k
         self._n = k + self._crc_length
-        pmat = self._get_pmat(k).astype(self.rdtype)
+        pmat = jnp.asarray(self._get_pmat(k), self.rdtype)
         # GF(2) product via real matmul + mod 2 (exact in f32 for
         # k < 2^24)
         parity = jnp.matmul(bits.astype(self.rdtype), pmat)
@@ -127,7 +127,7 @@ class CRCDecoder(Block):
         k = bits.shape[-1] - d
         u = bits[..., :k]
         parity_rx = bits[..., k:]
-        pmat = self._encoder._get_pmat(k).astype(self.rdtype)
+        pmat = jnp.asarray(self._encoder._get_pmat(k), self.rdtype)
         parity = jnp.mod(jnp.matmul(u.astype(self.rdtype), pmat), 2)
         crc_valid = jnp.all(parity == parity_rx, axis=-1, keepdims=True)
         return u, crc_valid

@@ -52,8 +52,7 @@ class RowColumnInterleaver(Block):
             ind = np.arange(n).reshape(nb_rows, -1).T.reshape(-1)
             perm = ind[ind < n_seq]
             perm_inv = np.argsort(perm)
-            self._perm_cache[n_seq] = (jnp.asarray(perm),
-                                       jnp.asarray(perm_inv))
+            self._perm_cache[n_seq] = (perm, perm_inv)
         return self._perm_cache[n_seq]
 
     @property
@@ -116,8 +115,7 @@ class RandomInterleaver(Block):
         if cache_key not in self._perm_cache:
             rng = np.random.default_rng(seed)
             perm = rng.permutation(n)
-            self._perm_cache[cache_key] = (jnp.asarray(perm),
-                                           jnp.asarray(np.argsort(perm)))
+            self._perm_cache[cache_key] = (perm, np.argsort(perm))
         return self._perm_cache[cache_key]
 
     def find_s_min(self, seed, seq_length, s_min_stop=0):
@@ -204,8 +202,7 @@ class Turbo3GPPInterleaver(Block):
             perm_full = (f1 * i + f2 * i * i) % k
             # shorten to frame_size: keep only positions < frame_size
             perm = perm_full[perm_full < frame_size]
-            self._perm_cache[frame_size] = (jnp.asarray(perm),
-                                            jnp.asarray(np.argsort(perm)))
+            self._perm_cache[frame_size] = (perm, np.argsort(perm))
         return self._perm_cache[frame_size]
 
     def call(self, x, /, *, inverse=None, **kwargs):

@@ -216,8 +216,8 @@ class LDPCBPDecoder(Block):
 
         coo = pcm.tocoo()
         order = np.lexsort((coo.col, coo.row))  # row-major edge order
-        self._cn_idx = jnp.asarray(coo.row[order], jnp.int32)
-        self._vn_idx = jnp.asarray(coo.col[order], jnp.int32)
+        self._cn_idx = coo.row[order].astype(np.int32)
+        self._vn_idx = coo.col[order].astype(np.int32)
         self._num_edges = len(coo.row)
 
         if not isinstance(hard_out, bool):
@@ -307,7 +307,8 @@ class LDPCBPDecoder(Block):
         # internal classic convention log(P0/P1)
         llr_int = -jnp.clip(llr, -self._llr_max, self._llr_max)
 
-        cn_idx, vn_idx = self._cn_idx, self._vn_idx
+        cn_idx = jnp.asarray(self._cn_idx)
+        vn_idx = jnp.asarray(self._vn_idx)
         num_cns, num_vns = self._num_cns, self._num_vns
         clip = self._llr_max
 

@@ -229,13 +229,13 @@ class LDPC5GEncoder(Block):
         _, cols, shifts = entries
         j = np.arange(z)[None, :]
         idx = cols[:, None] * z + np.mod(j + shifts[:, None], z)
-        return jnp.asarray(idx, jnp.int32)
+        return idx.astype(np.int32)
 
     @staticmethod
     def _make_rowsum(rows, num_rows):
         m = np.zeros((len(rows), num_rows), np.float32)
         m[np.arange(len(rows)), rows] = 1.0
-        return jnp.asarray(m)
+        return m
 
     # ------------------------------------------------------------------
     # Properties (API parity with reference encoding.py:140-246)
@@ -306,9 +306,9 @@ class LDPC5GEncoder(Block):
         gidx: [E, Z] gather map; rowsum: [E, R] one-hot;
         x_flat: [B, C*Z]. Returns [B, R, Z] (integer-valued float).
         """
-        gathered = jnp.take(x_flat, gidx, axis=1)  # [B, E, Z]
-        return jnp.einsum("bez,er->brz", gathered, rowsum.astype(
-            gathered.dtype))
+        gathered = jnp.take(x_flat, jnp.asarray(gidx), axis=1)
+        return jnp.einsum("bez,er->brz", gathered,
+                          jnp.asarray(rowsum, gathered.dtype))
 
     def _apply(self, x, s):
         """Circulant block action P^s: y[i] = x[(i+s) mod Z]."""
@@ -364,7 +364,8 @@ class LDPC5GEncoder(Block):
         # puncture first 2Z systematic bits; keep n bits
         c_short = c_no_filler[:, 2 * z:2 * z + self._n]
         if self._num_bits_per_symbol is not None:
-            c_short = jnp.take(c_short, jnp.asarray(self._out_int),
+            c_short = jnp.take(c_short,
+                               jnp.asarray(self._out_int, jnp.int32),
                                axis=-1)
         out_shape = tuple(input_shape[:-1]) + (self._n,)
         return jnp.reshape(c_short, out_shape)

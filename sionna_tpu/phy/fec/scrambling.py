@@ -61,7 +61,7 @@ class Scrambler(Block):
         self._call_count = 0
         self._sequence = None
         if sequence is not None:
-            self._sequence = jnp.asarray(sequence, self.rdtype)
+            self._sequence = np.asarray(sequence, self.np_rdtype)
 
     @property
     def seed(self):
@@ -88,7 +88,7 @@ class Scrambler(Block):
         if binary is None:
             binary = self._binary
         if self._sequence is not None:
-            seq = self._sequence
+            seq = jnp.asarray(self._sequence)
         else:
             if seed is not None:
                 s = int(seed)
@@ -152,9 +152,8 @@ class TB5GScrambler(Block):
 
     def _sequences(self, n):
         if n not in self._seq_cache:
-            seqs = np.stack([generate_prng_seq(n, ci)
-                             for ci in self._c_init])
-            self._seq_cache[n] = jnp.asarray(seqs, jnp.float32)
+            self._seq_cache[n] = np.stack(
+                [generate_prng_seq(n, ci) for ci in self._c_init])
         return self._seq_cache[n]
 
     def call(self, x, /, *, binary=None):
@@ -162,7 +161,7 @@ class TB5GScrambler(Block):
         if binary is None:
             binary = self._binary
         n = x.shape[-1]
-        seqs = self._sequences(n).astype(self.rdtype)  # [S, n]
+        seqs = jnp.asarray(self._sequences(n), self.rdtype)  # [S, n]
         if self._multi_stream:
             if x.shape[-2] != len(self._c_init):
                 raise ValueError(

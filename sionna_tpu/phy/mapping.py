@@ -121,7 +121,7 @@ class Constellation(Block):
         else:
             if points is None:
                 raise ValueError("points must be provided for custom")
-        points = jnp.asarray(points, self.cdtype)
+        points = np.asarray(points, self.np_cdtype)
         if points.shape[0] != 2 ** self._num_bits_per_symbol:
             raise ValueError("points has wrong number of elements")
         self._points = points
@@ -161,7 +161,7 @@ class Constellation(Block):
 
     @points.setter
     def points(self, v):
-        self._points = jnp.asarray(v, self.cdtype)
+        self._points = np.asarray(v, self.np_cdtype)
 
     def call(self, points=None):
         """Applies centering/normalization to the (possibly overridden)
@@ -233,8 +233,8 @@ class Mapper(Block):
             constellation=constellation, precision=precision)
         self._return_indices = bool(return_indices)
         k = self._constellation.num_bits_per_symbol
-        self._bit_weights = jnp.asarray(2 ** np.arange(k - 1, -1, -1),
-                                        jnp.int32)
+        self._bit_weights = (2 ** np.arange(k - 1, -1, -1)).astype(
+            np.int32)
 
     @property
     def constellation(self):
@@ -267,9 +267,9 @@ class SymbolLogits2LLRs(Block):
         self._num_bits_per_symbol = int(num_bits_per_symbol)
         labels = _binary_labels(num_bits_per_symbol)  # [2^K, K]
         # mask[c, k] = True where bit k of label(c) == 1
-        self._bit1_mask = jnp.asarray(labels == 1)            # [2^K, K]
+        self._bit1_mask = (labels == 1)                       # [2^K, K]
         # +-1 labels for prior computation
-        self._pm1 = jnp.asarray(2 * labels - 1)               # [2^K, K]
+        self._pm1 = (2 * labels - 1).astype(np.int32)         # [2^K, K]
 
     @property
     def num_bits_per_symbol(self):
@@ -379,7 +379,7 @@ class LLRs2SymbolLogits(Block):
         self._num_bits_per_symbol = int(num_bits_per_symbol)
         self._hard_out = bool(hard_out)
         labels = _binary_labels(num_bits_per_symbol)
-        self._pm1 = jnp.asarray(2 * labels - 1)  # [2^K, K]
+        self._pm1 = (2 * labels - 1).astype(np.int32)  # [2^K, K]
 
     @property
     def num_bits_per_symbol(self):
@@ -424,11 +424,12 @@ class SymbolInds2Bits(Block):
     def __init__(self, num_bits_per_symbol, precision=None, **kwargs):
         super().__init__(precision=precision, **kwargs)
         labels = _binary_labels(num_bits_per_symbol)
-        self._labels = jnp.asarray(labels)
+        self._labels = labels
 
     def call(self, symbol_ind):
-        labels = self._labels.astype(self.rdtype)
-        return jnp.take(labels, jnp.asarray(symbol_ind), axis=0)
+        labels = self._labels.astype(self.np_rdtype)
+        return jnp.take(jnp.asarray(labels), jnp.asarray(symbol_ind),
+                        axis=0)
 
 
 class QAM2PAM(Object):
@@ -445,13 +446,13 @@ class QAM2PAM(Object):
         w = 2 ** np.arange(half - 1, -1, -1)
         ind1 = (labels[:, 0::2] * w).sum(-1)
         ind2 = (labels[:, 1::2] * w).sum(-1)
-        self._ind1 = jnp.asarray(ind1, jnp.int32)
-        self._ind2 = jnp.asarray(ind2, jnp.int32)
+        self._ind1 = ind1.astype(np.int32)
+        self._ind2 = ind2.astype(np.int32)
 
     def __call__(self, ind_qam):
         ind_qam = jnp.asarray(ind_qam)
-        return (jnp.take(self._ind1, ind_qam, axis=0),
-                jnp.take(self._ind2, ind_qam, axis=0))
+        return (jnp.take(jnp.asarray(self._ind1), ind_qam, axis=0),
+                jnp.take(jnp.asarray(self._ind2), ind_qam, axis=0))
 
 
 class PAM2QAM(Object):
@@ -477,19 +478,19 @@ class PAM2QAM(Object):
                 bits[1::2] = labels_half[p2]
                 qam_ind[p1, p2] = int((bits * 2 ** np.arange(k - 1, -1, -1)
                                        ).sum())
-        self._qam_ind = jnp.asarray(qam_ind)
+        self._qam_ind = qam_ind
         self._num_points = 2 ** k
 
     def __call__(self, pam1, pam2):
         pam1 = jnp.asarray(pam1)
         pam2 = jnp.asarray(pam2)
         if self._hard:
-            return self._qam_ind[pam1, pam2]
+            return jnp.asarray(self._qam_ind)[pam1, pam2]
         # soft: combine logits over PAM points into logits over QAM
         logits = pam1[..., :, None] + pam2[..., None, :]
         flat = jnp.reshape(logits,
                            logits.shape[:-2] + (self._num_points,))
-        perm = jnp.reshape(self._qam_ind, (-1,))
+        perm = jnp.asarray(self._qam_ind.reshape(-1))
         inv = jnp.zeros_like(perm).at[perm].set(
             jnp.arange(self._num_points, dtype=perm.dtype))
         return jnp.take(flat, inv, axis=-1)

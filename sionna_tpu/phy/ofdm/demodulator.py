@@ -37,8 +37,8 @@ class OFDMDemodulator(Block):
         # phase compensation e^{-j 2 pi k l_min / N}
         k = np.arange(self._fft_size, dtype=np.float64)
         tmp = -2 * PI * self._l_min / self._fft_size * k
-        self._phase_compensation = jnp.asarray(np.exp(1j * tmp),
-                                               self.cdtype)
+        self._phase_compensation = np.exp(1j * tmp).astype(
+            self.np_cdtype)
 
     @property
     def fft_size(self):
@@ -77,6 +77,7 @@ class OFDMDemodulator(Block):
             x = jnp.take(x, ind, axis=-1)
 
         x = fft(x, precision=self.precision)
-        rot = expand_to_rank(self._phase_compensation, x.ndim, 0)
+        rot = expand_to_rank(jnp.asarray(self._phase_compensation),
+                             x.ndim, 0)
         x = x * rot
         return jnp.fft.fftshift(x, axes=-1)

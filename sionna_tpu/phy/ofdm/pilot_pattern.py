@@ -67,13 +67,14 @@ class PilotPattern(Object):
         """Pilots, normalized if requested."""
         p = self._pilots
         if self._normalize:
-            energy = jnp.mean(jnp.abs(p) ** 2, axis=-1, keepdims=True)
-            p = p / jnp.sqrt(energy).astype(p.dtype)
+            energy = np.mean(np.abs(p) ** 2, axis=-1, keepdims=True)
+            energy = np.where(energy == 0, 1.0, energy)
+            p = p / np.sqrt(energy).astype(p.dtype)
         return p
 
     @pilots.setter
     def pilots(self, v):
-        self._pilots = jnp.asarray(v, self.cdtype)
+        self._pilots = np.asarray(v, self.np_cdtype)
 
     def _check_settings(self):
         if self._mask.ndim != 4:
@@ -130,8 +131,6 @@ class KroneckerPilotPattern(PilotPattern):
 
     def __init__(self, resource_grid, pilot_ofdm_symbol_indices,
                  normalize=True, seed=0, precision=None):
-        from ..mapping import QAMSource
-
         num_tx = resource_grid.num_tx
         num_streams_per_tx = resource_grid.num_streams_per_tx
         num_ofdm_symbols = resource_grid.num_ofdm_symbols
@@ -150,13 +149,16 @@ class KroneckerPilotPattern(PilotPattern):
 
         shape[2] = num_pilot_symbols
         pilots = np.zeros(shape, np.complex64)
-        qam_source = QAMSource(2, seed=seed, precision=precision)
+        # host-side random QPSK pilots (stateless in seed)
+        rng = np.random.default_rng(seed)
         for i in range(num_tx):
             for j in range(num_streams_per_tx):
-                p = np.asarray(qam_source(
-                    [1, 1, num_pilot_symbols, num_pilots_per_symbol]))
+                b = rng.integers(
+                    0, 2, (num_pilot_symbols, num_pilots_per_symbol, 2))
+                p = ((1 - 2 * b[..., 0]) + 1j * (1 - 2 * b[..., 1])) \
+                    / np.sqrt(2)
                 pilots[i, j, :,
-                       i * num_streams_per_tx + j::num_seq] = p[0, 0]
+                       i * num_streams_per_tx + j::num_seq] = p
         pilots = pilots.reshape([num_tx, num_streams_per_tx, -1])
         super().__init__(mask, pilots, normalize=normalize,
                          precision=precision)

@@ -215,20 +215,20 @@ class ResourceGridMapper(Block):
                 s[d_pos] = np.arange(len(d_pos))
                 s[p_pos] = n_data + np.arange(len(p_pos))
                 src[i, j] = s.reshape(rg_type.shape[2:])
-        self._src_idx = jnp.asarray(
-            src.reshape(rg.num_tx, rg.num_streams_per_tx, -1))
+        self._src_idx = src.reshape(rg.num_tx,
+                                    rg.num_streams_per_tx, -1)
 
     def call(self, inputs):
         rg = self._resource_grid
         x = jnp.asarray(inputs, self.cdtype)
         batch = x.shape[0]
-        pilots = self._resource_grid.pilot_pattern.pilots  # [tx,s,P]
-        pilots = jnp.broadcast_to(
-            pilots.astype(self.cdtype),
-            (batch,) + tuple(pilots.shape))
+        pilots = jnp.asarray(self._resource_grid.pilot_pattern.pilots,
+                             self.cdtype)  # [tx,s,P]
+        pilots = jnp.broadcast_to(pilots,
+                                  (batch,) + tuple(pilots.shape))
         zero = jnp.zeros(x.shape[:3] + (1,), self.cdtype)
         src_vals = jnp.concatenate([x, pilots, zero], axis=-1)
-        idx = jnp.broadcast_to(self._src_idx[None],
+        idx = jnp.broadcast_to(jnp.asarray(self._src_idx)[None],
                                (batch,) + tuple(self._src_idx.shape))
         grid = jnp.take_along_axis(src_vals, idx, axis=-1)
         return jnp.reshape(
@@ -257,9 +257,9 @@ class ResourceGridDemapper(Block):
             [[np.where(rg_type[i, j].reshape(-1) == 0)[0]
               for j in range(rg.num_streams_per_tx)]
              for i in range(rg.num_tx)])
-        self._data_pos = jnp.asarray(data_pos, jnp.int32)
-        self._stream_ind = jnp.asarray(stream_management.stream_ind,
-                                       jnp.int32)
+        self._data_pos = data_pos.astype(np.int32)
+        self._stream_ind = np.asarray(stream_management.stream_ind,
+                                      np.int32)
 
     def call(self, y):
         rg = self._resource_grid
@@ -273,11 +273,11 @@ class ResourceGridDemapper(Block):
         # reorder to tx-stream order
         y = jnp.reshape(y, (batch, -1, rg.num_ofdm_symbols * rg.fft_size,
                             data_dim))
-        y = jnp.take(y, self._stream_ind, axis=1)
+        y = jnp.take(y, jnp.asarray(self._stream_ind), axis=1)
         y = jnp.reshape(y, (batch, rg.num_tx, rg.num_streams_per_tx,
                             rg.num_ofdm_symbols * rg.fft_size, data_dim))
         idx = jnp.broadcast_to(
-            self._data_pos[None, ..., None],
+            jnp.asarray(self._data_pos)[None, ..., None],
             (batch,) + tuple(self._data_pos.shape) + (data_dim,))
         out = jnp.take_along_axis(y, idx, axis=3)
         if not has_data_dim:
@@ -294,8 +294,9 @@ class RemoveNulledSubcarriers(Block):
 
     def __init__(self, resource_grid, precision=None, **kwargs):
         super().__init__(precision=precision, **kwargs)
-        self._sc_ind = jnp.asarray(resource_grid.effective_subcarrier_ind,
-                                   jnp.int32)
+        self._sc_ind = np.asarray(resource_grid.effective_subcarrier_ind,
+                                  np.int32)
 
     def call(self, inputs):
-        return jnp.take(jnp.asarray(inputs), self._sc_ind, axis=-1)
+        return jnp.take(jnp.asarray(inputs), jnp.asarray(self._sc_ind),
+                        axis=-1)

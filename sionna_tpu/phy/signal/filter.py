@@ -76,7 +76,11 @@ class Filter(Block):
 
     @coefficients.setter
     def coefficients(self, v):
-        self._coefficients = self._cast_or_check_precision(jnp.asarray(v))
+        v = np.asarray(v)
+        if np.iscomplexobj(v):
+            self._coefficients = v.astype(self.np_cdtype)
+        else:
+            self._coefficients = v.astype(self.np_rdtype)
 
     @property
     def sampling_times(self):
@@ -87,7 +91,7 @@ class Filter(Block):
         return t / self.samples_per_symbol
 
     def _effective_coefficients(self, conjugate=False):
-        h = self._coefficients
+        h = jnp.asarray(self._coefficients)
         if self._window is not None:
             h = self._window(h)
         if self._normalize:

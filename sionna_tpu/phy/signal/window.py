@@ -27,7 +27,7 @@ class Window(Block):
 
     @coefficients.setter
     def coefficients(self, v):
-        self._coefficients = jnp.asarray(v, self.rdtype)
+        self._coefficients = np.asarray(v, self.np_rdtype)
 
     @property
     def length(self):
@@ -46,12 +46,13 @@ class Window(Block):
             gen = getattr(self, "_generate", None)
             if gen is None:
                 raise ValueError("Window length mismatch.")
-            self._coefficients = jnp.asarray(gen(length), self.rdtype)
+            self._coefficients = np.asarray(gen(length),
+                                             self.np_rdtype)
         return self._coefficients
 
     def call(self, x):
         x = jnp.asarray(x)
-        w = self._coeffs_for(x.shape[-1])
+        w = jnp.asarray(self._coeffs_for(x.shape[-1]), self.rdtype)
         if self._normalize:
             energy = jnp.mean(w ** 2)
             w = w / jnp.sqrt(energy)
