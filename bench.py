@@ -4,11 +4,14 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ...,
 "vs_baseline": N}.
 
 Headline workload (BASELINE.md): coded-AWGN link Monte-Carlo info-bit
-throughput - QAM over AWGN with 5G LDPC n=2048 rate 1/2, batch 2000
-(reference best published: 10.995 Mb/s graph mode on RTX A6000,
-tutorials/phy/Sionna_tutorial_part1.ipynb cell 63). Until the LDPC
-decoder lands, this measures the uncoded 16-QAM AWGN chain and reports
-vs_baseline=0.0 to signal "not yet comparable".
+throughput - 16-QAM over AWGN with 5G LDPC n=2048 rate 1/2 BP-20
+(min-sum), batch 2000. The reference's best published number for this
+workload is 10.995 Mb/s (graph mode, RTX A6000;
+tutorials/phy/Sionna_tutorial_part1.ipynb cell 63). vs_baseline is the
+ratio of our info-bit throughput to that number.
+
+TPU constraint: only integer/real scalars are fetched from device (the
+axon backend cannot transfer complex arrays device-to-host).
 """
 
 import json
@@ -18,53 +21,59 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+BASELINE_BITS_PER_S = 10.995e6
 
-def bench_uncoded_awgn():
+
+def bench_coded_awgn():
     from sionna_tpu.phy import BinarySource, Mapper, Demapper, AWGN
-    from sionna_tpu.phy.utils import ebnodb2no, hard_decisions
+    from sionna_tpu.phy.fec.ldpc import LDPC5GEncoder, LDPC5GDecoder
+    from sionna_tpu.phy.utils import ebnodb2no
 
-    num_bits_per_symbol = 4
+    nbps = 4
+    k, n = 1024, 2048
     batch_size = 2000
-    n = 2048  # bits per example
 
-    binary_source = BinarySource()
-    mapper = Mapper("qam", num_bits_per_symbol)
-    demapper = Demapper("app", "qam", num_bits_per_symbol)
+    src = BinarySource()
+    enc = LDPC5GEncoder(k, n, num_bits_per_symbol=nbps)
+    mapper = Mapper("qam", nbps)
+    demapper = Demapper("app", "qam", nbps)
+    dec = LDPC5GDecoder(enc, num_iter=20, cn_update="minsum")
     awgn = AWGN()
 
     @jax.jit
     def step(ebno_db, key):
         k1, k2 = jax.random.split(key)
-        no = ebnodb2no(ebno_db, num_bits_per_symbol, 1.0)
-        b = binary_source([batch_size, n], key=k1)
-        x = mapper(b)
+        no = ebnodb2no(ebno_db, nbps, k / n)
+        b = src([batch_size, k], key=k1)
+        c = enc(b)
+        x = mapper(c)
         y = awgn(x, no, key=k2)
         llr = demapper(y, no)
-        b_hat = hard_decisions(llr)
+        b_hat = dec(llr)
         return jnp.sum((b != b_hat).astype(jnp.int32))
 
     key = jax.random.PRNGKey(0)
-    ebno = jnp.asarray(6.0, jnp.float32)
-    # Warmup / compile
-    step(ebno, key).block_until_ready()
+    ebno = jnp.asarray(4.0, jnp.float32)
+    step(ebno, key).block_until_ready()  # compile
 
-    n_iters = 50
+    n_iters = 20
     t0 = time.perf_counter()
+    errs = 0
     for i in range(n_iters):
-        errs = step(ebno, jax.random.fold_in(key, i))
-    errs.block_until_ready()
+        e = step(ebno, jax.random.fold_in(key, i))
+    e.block_until_ready()
     dt = time.perf_counter() - t0
-    bits = n_iters * batch_size * n
-    return bits / dt
+    info_bits = n_iters * batch_size * k
+    return info_bits / dt
 
 
 def main():
-    throughput = bench_uncoded_awgn()
+    throughput = bench_coded_awgn()
     result = {
-        "metric": "uncoded_16qam_awgn_mc_bit_throughput",
+        "metric": "coded_awgn_ldpc_mc_info_bit_throughput",
         "value": round(throughput / 1e6, 3),
         "unit": "Mbit/s",
-        "vs_baseline": 0.0,
+        "vs_baseline": round(throughput / BASELINE_BITS_PER_S, 3),
     }
     print(json.dumps(result))
 

@@ -6,3 +6,13 @@ from .resource_grid import (ResourceGrid, ResourceGridMapper,
                             ResourceGridDemapper, RemoveNulledSubcarriers)
 from .modulator import OFDMModulator
 from .demodulator import OFDMDemodulator
+from .channel_estimation import (
+    BaseChannelEstimator, BaseChannelInterpolator, LSChannelEstimator,
+    NearestNeighborInterpolator, LinearInterpolator, LMMSEInterpolator,
+    tdl_freq_cov_mat, tdl_time_cov_mat)
+from .detection import (OFDMDetector, OFDMDetectorWithPrior,
+                        LinearDetector, MaximumLikelihoodDetector,
+                        MaximumLikelihoodDetectorWithPrior,
+                        KBestDetector, EPDetector, MMSEPICDetector)
+from .equalization import (OFDMEqualizer, LMMSEEqualizer, ZFEqualizer,
+                           MFEqualizer)

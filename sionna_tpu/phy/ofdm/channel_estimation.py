@@ -1,0 +1,345 @@
+"""OFDM channel estimation (reference:
+src/sionna/phy/ofdm/channel_estimation.py:20,175,323,437,736,1367;
+fresh JAX implementations).
+
+TPU design: every interpolator is precomputed host-side into either a
+static gather map (nearest neighbor) or a dense interpolation operator
+[num_REs, num_pilots] applied as one MXU matmul (linear and LMMSE) -
+this removes the reference's no-XLA constraint on the LMMSE
+interpolator (channel_estimation.py:1575).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..block import Block, Object
+from ..utils.tensors import expand_to_rank, flatten_last_dims
+from .resource_grid import ResourceGrid, RemoveNulledSubcarriers
+
+__all__ = ["BaseChannelEstimator", "BaseChannelInterpolator",
+           "LSChannelEstimator", "NearestNeighborInterpolator",
+           "LinearInterpolator", "LMMSEInterpolator",
+           "tdl_freq_cov_mat", "tdl_time_cov_mat"]
+
+
+class BaseChannelInterpolator(Object):
+    """Abstract OFDM channel interpolator
+    (reference channel_estimation.py:~300)."""
+
+    def __call__(self, h_hat, err_var):
+        raise NotImplementedError
+
+
+class NearestNeighborInterpolator(BaseChannelInterpolator):
+    """Assigns each RE the channel estimate of the nearest pilot
+    (Manhattan distance; reference channel_estimation.py:323)."""
+
+    def __init__(self, pilot_pattern):
+        super().__init__()
+        if pilot_pattern.num_pilot_symbols == 0:
+            raise ValueError("The pilot pattern cannot be empty")
+        mask = np.array(pilot_pattern.mask)
+        mask_shape = mask.shape
+        mask_flat = mask.reshape([-1] + list(mask_shape[-2:]))
+        pilots = np.asarray(pilot_pattern.pilots)
+        pilots = pilots.reshape([-1, pilots.shape[-1]])
+        if np.max(np.sum(np.abs(pilots) == 0, -1)) >= pilots.shape[-1]:
+            raise ValueError("At least one pilot must be non-zero")
+
+        gather_ind = np.zeros_like(mask_flat, dtype=np.int32)
+        for a in range(gather_ind.shape[0]):
+            i_p, j_p = np.where(mask_flat[a])
+            for i in range(mask_shape[-2]):
+                for j in range(mask_shape[-1]):
+                    d = np.abs(i - i_p) + np.abs(j - j_p)
+                    d = d.astype(np.float64)
+                    d[np.abs(pilots[a]) == 0] = np.sum(mask_shape[-2:])
+                    gather_ind[a, i, j] = int(np.argmin(d))
+        self._gather_ind = gather_ind.reshape(mask_shape)
+
+    def __call__(self, h_hat, err_var):
+        h_hat = jnp.asarray(h_hat)
+        err_var = jnp.broadcast_to(jnp.asarray(err_var), h_hat.shape)
+        gi = self._gather_ind  # [tx, s, sym, eff]
+        num_sym, num_eff = gi.shape[-2:]
+        idx = jnp.asarray(
+            gi.reshape((1, 1, 1) + gi.shape[:-2] + (num_sym * num_eff,)))
+
+        def gather(x):
+            # x: [b, rx, rxa, tx, s, P] ->
+            # [b, rx, rxa, tx, s, sym, eff]
+            out = jnp.take_along_axis(x, idx, axis=-1)
+            return jnp.reshape(out, out.shape[:-1]
+                               + (num_sym, num_eff))
+
+        return gather(h_hat), gather(err_var)
+
+
+class LinearInterpolator(BaseChannelInterpolator):
+    """Linear interpolation, first across subcarriers then across OFDM
+    symbols, expressed as one dense operator matmul
+    (reference channel_estimation.py:437)."""
+
+    def __init__(self, pilot_pattern, time_avg=False):
+        super().__init__()
+        if pilot_pattern.num_pilot_symbols == 0:
+            raise ValueError("The pilot pattern cannot be empty")
+        mask = np.array(pilot_pattern.mask)
+        self._mask_shape = mask.shape
+        num_sym, num_eff = mask.shape[-2:]
+        mask_flat = mask.reshape([-1, num_sym, num_eff])
+        pilots = np.asarray(pilot_pattern.pilots)
+        pilots_flat = pilots.reshape([-1, pilots.shape[-1]])
+
+        ops = []
+        for a in range(mask_flat.shape[0]):
+            ops.append(self._build_operator(
+                mask_flat[a], pilots_flat[a], num_sym, num_eff,
+                time_avg))
+        w = np.stack(ops)  # [A, num_sym*num_eff, P]
+        self._w = w.reshape(mask.shape[:-2]
+                            + (num_sym * num_eff, pilots.shape[-1]))
+        self._num_sym = num_sym
+        self._num_eff = num_eff
+
+    @staticmethod
+    def _build_operator(mask, pilots, num_sym, num_eff, time_avg):
+        """Dense [num_sym*num_eff, P] linear-interpolation operator."""
+        p_total = len(pilots)
+        i_p, j_p = np.where(mask)  # row-major pilot coords
+        valid = np.abs(pilots) != 0
+        # frequency interpolation per pilot-carrying symbol
+        pilot_syms = np.unique(i_p[valid])
+        # freq_op[s_idx, j, p]
+        freq_ops = {}
+        for si in pilot_syms:
+            sel = np.where((i_p == si) & valid)[0]
+            js = j_p[sel]
+            order = np.argsort(js)
+            js, sel = js[order], sel[order]
+            op = np.zeros((num_eff, p_total))
+            for j in range(num_eff):
+                if j <= js[0]:
+                    op[j, sel[0]] = 1
+                elif j >= js[-1]:
+                    op[j, sel[-1]] = 1
+                else:
+                    r = int(np.searchsorted(js, j))
+                    l = r - 1 if js[min(r, len(js) - 1)] != j else r
+                    if js[r] == j:
+                        op[j, sel[r]] = 1
+                    else:
+                        wgt = (j - js[l]) / (js[r] - js[l])
+                        op[j, sel[l]] = 1 - wgt
+                        op[j, sel[r]] = wgt
+            freq_ops[si] = op
+
+        w = np.zeros((num_sym, num_eff, p_total))
+        if time_avg:
+            avg = np.mean([freq_ops[si] for si in pilot_syms], axis=0)
+            w[:] = avg
+        else:
+            ps = np.asarray(sorted(pilot_syms))
+            for t in range(num_sym):
+                if t <= ps[0]:
+                    w[t] = freq_ops[ps[0]]
+                elif t >= ps[-1]:
+                    w[t] = freq_ops[ps[-1]]
+                else:
+                    r = int(np.searchsorted(ps, t))
+                    if ps[r] == t:
+                        w[t] = freq_ops[ps[r]]
+                    else:
+                        l = r - 1
+                        wgt = (t - ps[l]) / (ps[r] - ps[l])
+                        w[t] = (1 - wgt) * freq_ops[ps[l]] \
+                            + wgt * freq_ops[ps[r]]
+        return w.reshape(num_sym * num_eff, p_total)
+
+    def _apply(self, x):
+        # x: [b, rx, rxa, tx, s, P] -> [b, rx, rxa, tx, s, sym, eff]
+        w = jnp.asarray(self._w, x.dtype)  # [tx, s, RE, P]
+        out = jnp.einsum("...tsp,tsrp->...tsr", x, w)
+        return jnp.reshape(out, out.shape[:-1]
+                           + (self._num_sym, self._num_eff))
+
+    def __call__(self, h_hat, err_var):
+        h_hat = jnp.asarray(h_hat)
+        err_var = jnp.broadcast_to(jnp.asarray(err_var), h_hat.shape)
+        h_out = self._apply(h_hat)
+        # interpolate error variances with the same (real) operator
+        err_out = self._apply(err_var.astype(h_hat.dtype))
+        err_out = jnp.maximum(jnp.real(err_out), 0.)
+        return h_out, err_out
+
+
+class LMMSEInterpolator(BaseChannelInterpolator):
+    """LMMSE interpolation given frequency/time covariance matrices,
+    precomputed into a dense per-pattern operator
+    (re-design of reference channel_estimation.py:1367, which could not
+    run under XLA; here the operator is static and jit-friendly).
+
+    The operator is W = R_hp (R_pp + diag(err_var_nominal))^{-1}
+    with R built from kron(time_cov, freq_cov) restricted to pilot
+    positions. ``order`` is accepted for API parity ("f-t", "t-f");
+    both produce the same joint-kron operator here.
+    """
+
+    def __init__(self, pilot_pattern, cov_mat_freq, cov_mat_time=None,
+                 order="f-t", nominal_err_var=0.01):
+        super().__init__()
+        mask = np.array(pilot_pattern.mask)
+        num_sym, num_eff = mask.shape[-2:]
+        pilots = np.asarray(pilot_pattern.pilots)
+        pilots_flat = pilots.reshape([-1, pilots.shape[-1]])
+        mask_flat = mask.reshape([-1, num_sym, num_eff])
+        rf = np.asarray(cov_mat_freq)
+        if cov_mat_time is None:
+            rt = np.eye(num_sym)
+        else:
+            rt = np.asarray(cov_mat_time)
+
+        ops = []
+        for a in range(mask_flat.shape[0]):
+            i_p, j_p = np.where(mask_flat[a])
+            valid = np.abs(pilots_flat[a]) != 0
+            p_total = len(pilots_flat[a])
+            ip, jp = i_p[valid], j_p[valid]
+            # R_pp and R_hp from the separable covariance
+            r_pp = rt[np.ix_(ip, ip)] * rf[np.ix_(jp, jp)]
+            t_all = np.repeat(np.arange(num_sym), num_eff)
+            f_all = np.tile(np.arange(num_eff), num_sym)
+            r_hp = rt[np.ix_(t_all, ip)] * rf[np.ix_(f_all, jp)]
+            a_mat = r_pp + nominal_err_var * np.eye(len(ip))
+            w_valid = r_hp @ np.linalg.inv(a_mat)
+            w = np.zeros((num_sym * num_eff, p_total),
+                         dtype=w_valid.dtype)
+            w[:, np.where(valid)[0]] = w_valid
+            ops.append(w)
+        w = np.stack(ops)
+        self._w = w.reshape(mask.shape[:-2]
+                            + (num_sym * num_eff, pilots.shape[-1]))
+        self._num_sym = num_sym
+        self._num_eff = num_eff
+
+    def _apply(self, x):
+        w = jnp.asarray(self._w, x.dtype)
+        out = jnp.einsum("...tsp,tsrp->...tsr", x, w)
+        return jnp.reshape(out, out.shape[:-1]
+                           + (self._num_sym, self._num_eff))
+
+    def __call__(self, h_hat, err_var):
+        h_hat = jnp.asarray(h_hat)
+        err_var = jnp.broadcast_to(jnp.asarray(err_var), h_hat.shape)
+        h_out = self._apply(h_hat)
+        err_out = self._apply(err_var.astype(h_hat.dtype))
+        err_out = jnp.maximum(jnp.real(err_out), 0.)
+        return h_out, err_out
+
+
+def tdl_freq_cov_mat(bandwidth, num_subcarriers, delay_spread,
+                     delays=None, powers=None):
+    """Frequency covariance matrix of a TDL channel: R[f1,f2] =
+    sum_p P_p exp(-j2 pi (f1-f2) df tau_p)
+    (reference channel_estimation.py:1856). Host-side NumPy."""
+    if delays is None:
+        # exponential PDP approximation
+        delays = np.linspace(0, 10 * delay_spread, 100)
+        powers = np.exp(-delays / delay_spread)
+        powers /= powers.sum()
+    df = bandwidth / num_subcarriers
+    f = np.arange(num_subcarriers)
+    diff = f[:, None] - f[None, :]
+    r = np.sum(powers[None, None, :]
+               * np.exp(-2j * np.pi * diff[..., None] * df
+                        * delays[None, None, :]), axis=-1)
+    return r
+
+
+def tdl_time_cov_mat(num_ofdm_symbols, ofdm_symbol_duration,
+                     max_doppler):
+    """Time covariance matrix (Jakes): R[t1,t2] =
+    J0(2 pi fd (t1-t2) T) (reference channel_estimation.py:1956)."""
+    from scipy.special import j0
+    t = np.arange(num_ofdm_symbols)
+    diff = (t[:, None] - t[None, :]) * ofdm_symbol_duration
+    return j0(2 * np.pi * max_doppler * diff)
+
+
+class BaseChannelEstimator(Block):
+    """Extracts pilots, estimates at pilot positions, interpolates
+    (reference channel_estimation.py:20)."""
+
+    def __init__(self, resource_grid, interpolation_type="nn",
+                 interpolator=None, precision=None, **kwargs):
+        super().__init__(precision=precision, **kwargs)
+        if not isinstance(resource_grid, ResourceGrid):
+            raise TypeError(
+                "You must provide a valid instance of ResourceGrid.")
+        self._resource_grid = resource_grid
+        self._pilot_pattern = resource_grid.pilot_pattern
+        self._remove_nulled_scs = RemoveNulledSubcarriers(
+            resource_grid, precision=self.precision)
+        if interpolation_type not in ("nn", "lin", "lin_time_avg", None):
+            raise ValueError("Unsupported `interpolation_type`")
+        self._interpolation_type = interpolation_type
+        if interpolator is not None:
+            self._interpolator = interpolator
+        elif interpolation_type == "nn":
+            self._interpolator = NearestNeighborInterpolator(
+                self._pilot_pattern)
+        elif interpolation_type == "lin":
+            self._interpolator = LinearInterpolator(self._pilot_pattern)
+        elif interpolation_type == "lin_time_avg":
+            self._interpolator = LinearInterpolator(self._pilot_pattern,
+                                                    time_avg=True)
+        else:
+            raise ValueError("You must provide an interpolator")
+
+        # static pilot-position gather indices per (tx, stream):
+        # positions in the flattened [sym * eff] grid, row-major
+        mask = np.array(self._pilot_pattern.mask)
+        num_pilots = self._pilot_pattern.num_pilot_symbols
+        mask_flat = mask.reshape(mask.shape[:-2] + (-1,))
+        pilot_ind = np.zeros(mask.shape[:2] + (num_pilots,), np.int32)
+        for t in range(mask.shape[0]):
+            for s in range(mask.shape[1]):
+                pilot_ind[t, s] = np.where(mask_flat[t, s])[0]
+        self._pilot_ind = pilot_ind
+
+    def estimate_at_pilot_locations(self, y_pilots, no):
+        raise NotImplementedError
+
+    def call(self, y, no):
+        y = jnp.asarray(y, self.cdtype)
+        y_eff = self._remove_nulled_scs(y)  # [b, rx, rxa, sym, eff]
+        y_flat = flatten_last_dims(y_eff, 2)  # [b, rx, rxa, sym*eff]
+        # gather pilots: [b, rx, rxa, tx, s, num_pilots]
+        pi = self._pilot_ind  # [tx, s, P]
+        idx = jnp.asarray(pi.reshape((1, 1, 1) + pi.shape))
+        y_pilots = jnp.take_along_axis(
+            y_flat[..., None, None, :], idx, axis=-1)
+        no = jnp.asarray(no, self.rdtype)
+        h_hat, err_var = self.estimate_at_pilot_locations(y_pilots, no)
+        h_hat, err_var = self._interpolator(h_hat, err_var)
+        return h_hat, err_var
+
+
+class LSChannelEstimator(BaseChannelEstimator):
+    """LS estimation at pilots + interpolation
+    (reference channel_estimation.py:175)."""
+
+    def estimate_at_pilot_locations(self, y_pilots, no):
+        pilots = jnp.asarray(self._pilot_pattern.pilots, self.cdtype)
+        denom = jnp.where(jnp.abs(pilots) == 0,
+                          jnp.ones_like(pilots), pilots)
+        h_ls = jnp.where(jnp.abs(pilots) == 0,
+                         jnp.zeros_like(y_pilots), y_pilots / denom)
+        no_b = expand_to_rank(no, h_ls.ndim, -1)
+        p2 = jnp.abs(pilots) ** 2
+        err_var = jnp.where(p2 == 0, jnp.zeros_like(p2),
+                            no_b / jnp.maximum(p2, 1e-30))
+        err_var = jnp.broadcast_to(err_var, h_ls.shape)
+        return h_ls, err_var

@@ -1,0 +1,260 @@
+"""OFDM detection: grid-aware wrappers of the MIMO detectors
+(reference: src/sionna/phy/ofdm/detection.py:20,319,524,627,740,849,
+969,1062; fresh JAX implementations)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..block import Block
+from ..utils.tensors import (expand_to_rank, flatten_last_dims,
+                             flatten_dims, split_dim)
+from ..mimo import detection as mimo_detection
+from .resource_grid import RemoveNulledSubcarriers
+
+__all__ = ["OFDMDetector", "OFDMDetectorWithPrior", "LinearDetector",
+           "MaximumLikelihoodDetector", "MaximumLikelihoodDetectorWithPrior",
+           "KBestDetector", "EPDetector", "MMSEPICDetector"]
+
+
+class OFDMDetector(Block):
+    """Wraps a per-RE MIMO detector for OFDM resource grids
+    (reference detection.py:20).
+
+    Inputs (y, h_hat, err_var, no); see reference docstring for
+    shapes. Output: per-stream bits [b, num_tx, num_streams,
+    n_data*nbps] or symbols.
+    """
+
+    def __init__(self, detector, output, resource_grid,
+                 stream_management, precision=None, **kwargs):
+        super().__init__(precision=precision, **kwargs)
+        self._detector = detector
+        self._resource_grid = resource_grid
+        self._stream_management = stream_management
+        self._removed_nulled_scs = RemoveNulledSubcarriers(
+            resource_grid, precision=self.precision)
+        self._output = output
+        mask = np.array(resource_grid.pilot_pattern.mask)
+        num_data_symbols = resource_grid.pilot_pattern.num_data_symbols
+        mask_flat = mask.reshape(mask.shape[:-2] + (-1,))
+        # stable sort: data positions (mask==0) first, in row-major
+        # order
+        data_ind = np.argsort(mask_flat, axis=-1, kind="stable")
+        self._data_ind = data_ind[..., :num_data_symbols]
+
+    def _preprocess_inputs(self, y, h_hat, err_var, no):
+        sm = self._stream_management
+        y = jnp.asarray(y, self.cdtype)
+        h_hat = jnp.asarray(h_hat, self.cdtype)
+        err_var = jnp.asarray(err_var, self.rdtype)
+        no = jnp.asarray(no, self.rdtype)
+
+        # [b, rx, sym, eff, rxa]
+        y_eff = self._removed_nulled_scs(y)
+        y_dt = jnp.transpose(y_eff, (0, 1, 3, 4, 2))
+
+        # error variances: [b, rx, sym, eff, rxa, tx*s]
+        err_var_dt = jnp.broadcast_to(err_var, h_hat.shape)
+        err_var_dt = jnp.transpose(err_var_dt, (0, 1, 5, 6, 2, 3, 4))
+        err_var_dt = flatten_last_dims(err_var_dt, 2)
+
+        # desired/undesired channels
+        h_dt = jnp.transpose(h_hat, (1, 3, 4, 0, 2, 5, 6))
+        h_dt = flatten_dims(h_dt, 3, 0)  # [rx*tx*s, b, rxa, sym, eff]
+        h_desired = jnp.take(h_dt,
+                             jnp.asarray(sm.detection_desired_ind),
+                             axis=0)
+        h_undesired = jnp.take(h_dt,
+                               jnp.asarray(sm.detection_undesired_ind),
+                               axis=0)
+        h_desired = split_dim(h_desired,
+                              [sm.num_rx, sm.num_streams_per_rx], 0)
+        h_undesired = split_dim(h_undesired, [sm.num_rx, -1], 0)
+        # -> [b, rx, sym, eff, rxa, streams]
+        h_desired = jnp.transpose(h_desired, (2, 0, 4, 5, 3, 1))
+        h_undesired = jnp.transpose(h_undesired, (2, 0, 4, 5, 3, 1))
+
+        # noise-plus-interference covariance
+        no3 = jnp.broadcast_to(expand_to_rank(no, 3, -1), y.shape[:3])
+        no_dt = jnp.broadcast_to(no3[:, :, None, None, :], y_dt.shape)
+        s_inf = jnp.matmul(
+            h_undesired,
+            jnp.conjugate(jnp.swapaxes(h_undesired, -2, -1)))
+        eye = jnp.eye(y_dt.shape[-1], dtype=self.cdtype)
+        s_no = no_dt[..., None] * eye
+        s_csi = jnp.sum(err_var_dt, -1)[..., None] * eye
+        s = s_inf + s_no.astype(self.cdtype) + s_csi.astype(self.cdtype)
+        return y_dt, h_desired, s
+
+    def _extract_datasymbols(self, z):
+        sm = self._stream_management
+        rank_extended = z.ndim < 6
+        z = expand_to_rank(z, 6, -1)
+        # [b, rx, sym, eff, s_rx, d] -> [rx, s_rx, sym, eff, d, b]
+        z = jnp.transpose(z, (1, 4, 2, 3, 5, 0))
+        z = flatten_dims(z, 2, 0)  # [rx*s_rx, sym, eff, d, b]
+        z = jnp.take(z, jnp.asarray(sm.stream_ind), axis=0)
+        z = split_dim(z, [sm.num_tx, sm.num_streams_per_tx], 0)
+        z = flatten_dims(z, 2, 2)  # [tx, s_tx, sym*eff, d, b]
+        # gather data REs per (tx, stream)
+        idx = jnp.asarray(
+            self._data_ind[..., None, None])  # [tx, s, n_data, 1, 1]
+        z = jnp.take_along_axis(z, jnp.broadcast_to(
+            idx, z.shape[:2] + (idx.shape[2],) + z.shape[3:]), axis=2)
+        z = jnp.transpose(z, (4, 0, 1, 2, 3))  # [b, tx, s, n_data, d]
+        if self._output == "bit":
+            z = flatten_dims(z, 2, 3)
+        if rank_extended:
+            z = z[..., 0] if self._output != "bit" else z
+        return z
+
+    def call(self, y, h_hat, err_var, no):
+        y_dt, h_desired, s = self._preprocess_inputs(y, h_hat, err_var,
+                                                     no)
+        z = self._detector(y_dt, h_desired, s)
+        return self._extract_datasymbols(z)
+
+
+class OFDMDetectorWithPrior(OFDMDetector):
+    """OFDM detector wrapper passing priors through to the MIMO
+    detector (reference detection.py:319)."""
+
+    def __init__(self, detector, output, resource_grid,
+                 stream_management, constellation, precision=None,
+                 **kwargs):
+        super().__init__(detector, output, resource_grid,
+                         stream_management, precision=precision,
+                         **kwargs)
+        self._constellation = constellation
+
+    def call(self, y, h_hat, prior, err_var, no):
+        y_dt, h_desired, s = self._preprocess_inputs(y, h_hat, err_var,
+                                                     no)
+        # prior: [b, num_tx, s_tx, nbps] or [..., num_points] broadcast
+        # over REs: [b, rx, sym, eff, s_rx, dim]
+        sm = self._stream_management
+        prior = jnp.asarray(prior, self.rdtype)
+        # [b, num_tx, s_tx, d] -> rx ordering [b, rx, s_rx, d]
+        pr = jnp.reshape(prior, (prior.shape[0], -1, prior.shape[-1]))
+        pr = jnp.take(pr, jnp.asarray(sm.rx_stream_ids.reshape(-1)),
+                      axis=1)
+        pr = jnp.reshape(pr, (prior.shape[0], sm.num_rx,
+                              sm.num_streams_per_rx, prior.shape[-1]))
+        pr = pr[:, :, None, None]  # broadcast over sym, eff
+        pr = jnp.broadcast_to(pr, y_dt.shape[:4] + pr.shape[-2:])
+        z = self._detector(y_dt, h_desired, s, prior=pr)
+        return self._extract_datasymbols(z)
+
+
+class LinearDetector(OFDMDetector):
+    """OFDM linear detector (reference detection.py:524)."""
+
+    def __init__(self, equalizer, output, demapping_method,
+                 resource_grid, stream_management,
+                 constellation_type=None, num_bits_per_symbol=None,
+                 constellation=None, hard_out=False, precision=None,
+                 **kwargs):
+        detector = mimo_detection.LinearDetector(
+            equalizer, output, demapping_method,
+            constellation_type=constellation_type,
+            num_bits_per_symbol=num_bits_per_symbol,
+            constellation=constellation, hard_out=hard_out,
+            precision=precision)
+        super().__init__(detector, output, resource_grid,
+                         stream_management, precision=precision,
+                         **kwargs)
+
+
+class MaximumLikelihoodDetector(OFDMDetector):
+    """OFDM ML detector (reference detection.py:627)."""
+
+    def __init__(self, output, demapping_method, resource_grid,
+                 stream_management, constellation_type=None,
+                 num_bits_per_symbol=None, constellation=None,
+                 hard_out=False, precision=None, **kwargs):
+        detector = mimo_detection.MaximumLikelihoodDetector(
+            output, demapping_method,
+            stream_management.num_streams_per_rx,
+            constellation_type=constellation_type,
+            num_bits_per_symbol=num_bits_per_symbol,
+            constellation=constellation, hard_out=hard_out,
+            precision=precision)
+        super().__init__(detector, output, resource_grid,
+                         stream_management, precision=precision,
+                         **kwargs)
+
+
+class MaximumLikelihoodDetectorWithPrior(OFDMDetectorWithPrior):
+    """OFDM ML detector with prior (reference detection.py:740)."""
+
+    def __init__(self, output, demapping_method, resource_grid,
+                 stream_management, constellation_type=None,
+                 num_bits_per_symbol=None, constellation=None,
+                 hard_out=False, precision=None, **kwargs):
+        from ..mapping import Constellation
+        constellation = Constellation.check_or_create(
+            constellation_type=constellation_type,
+            num_bits_per_symbol=num_bits_per_symbol,
+            constellation=constellation, precision=precision)
+        detector = mimo_detection.MaximumLikelihoodDetector(
+            output, demapping_method,
+            stream_management.num_streams_per_rx,
+            constellation=constellation, hard_out=hard_out,
+            precision=precision)
+        super().__init__(detector, output, resource_grid,
+                         stream_management, constellation,
+                         precision=precision, **kwargs)
+
+
+class KBestDetector(OFDMDetector):
+    """OFDM K-Best detector (reference detection.py:849)."""
+
+    def __init__(self, output, num_streams, k, resource_grid,
+                 stream_management, constellation_type=None,
+                 num_bits_per_symbol=None, constellation=None,
+                 hard_out=False, use_real_rep=False, list2llr=None,
+                 precision=None, **kwargs):
+        detector = mimo_detection.KBestDetector(
+            output, num_streams, k,
+            constellation_type=constellation_type,
+            num_bits_per_symbol=num_bits_per_symbol,
+            constellation=constellation, hard_out=hard_out,
+            use_real_rep=use_real_rep, list2llr=list2llr,
+            precision=precision)
+        super().__init__(detector, output, resource_grid,
+                         stream_management, precision=precision,
+                         **kwargs)
+
+
+class EPDetector(OFDMDetector):
+    """OFDM EP detector (reference detection.py:969)."""
+
+    def __init__(self, output, resource_grid, stream_management,
+                 num_bits_per_symbol, hard_out=False, l=10, beta=0.9,
+                 precision=None, **kwargs):
+        detector = mimo_detection.EPDetector(
+            output, num_bits_per_symbol, hard_out=hard_out, l=l,
+            beta=beta, precision=precision)
+        super().__init__(detector, output, resource_grid,
+                         stream_management, precision=precision,
+                         **kwargs)
+
+
+class MMSEPICDetector(OFDMDetector):
+    """OFDM MMSE-PIC detector (reference detection.py:1062)."""
+
+    def __init__(self, output, resource_grid, stream_management,
+                 demapping_method="maxlog", num_iter=1,
+                 constellation_type=None, num_bits_per_symbol=None,
+                 constellation=None, hard_out=False, precision=None,
+                 **kwargs):
+        detector = mimo_detection.MMSEPICDetector(
+            output, demapping_method=demapping_method,
+            num_iter=num_iter, constellation_type=constellation_type,
+            num_bits_per_symbol=num_bits_per_symbol,
+            constellation=constellation, hard_out=hard_out,
+            precision=precision)
+        super().__init__(detector, output, resource_grid,
+                         stream_management, precision=precision,
+                         **kwargs)
