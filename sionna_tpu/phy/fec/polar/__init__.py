@@ -1,0 +1,7 @@
+"""Polar codes (reference: src/sionna/phy/fec/polar/__init__.py)."""
+
+from .encoding import PolarEncoder, Polar5GEncoder
+from .decoding import (PolarSCDecoder, PolarSCLDecoder, PolarBPDecoder,
+                       Polar5GDecoder)
+from .utils import (generate_5g_ranking, generate_polar_transform_mat,
+                    generate_rm_code, generate_dense_polar)

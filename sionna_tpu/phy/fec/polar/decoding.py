@@ -1,0 +1,562 @@
+"""Polar decoding: SC, SCL, BP, and the 5G wrapper (reference:
+src/sionna/phy/fec/polar/decoding.py:15,266,1440,1774; fresh JAX
+implementations).
+
+TPU design: the reference unrolls the SC tree recursively in Python
+(graph size O(n)) and falls back to a NumPy decoder for large SCL
+codes (decoding.py:426). Here SC/SCL run as a single
+``lax.fori_loop`` over bit indices with per-level fixed-shape LLR /
+partial-sum arrays and masked level updates - O(n log n) work, a
+compiled graph of size O(log n), fully batched (and list-parallel for
+SCL, with ``lax.top_k`` path pruning). No host fallback at any size.
+"""
+
+import numbers
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ...block import Block
+from ..crc import CRCEncoder, CRCDecoder
+from .encoding import Polar5GEncoder
+
+__all__ = ["PolarSCDecoder", "PolarSCLDecoder", "PolarBPDecoder",
+           "Polar5GDecoder"]
+
+_LLR_MAX = 30.0
+
+
+def _boxplus(x, y):
+    """Exact check-node op, matching the reference's formula
+    (decoding.py:_cn_op_tf) with +-30 clipping."""
+    x = jnp.clip(x, -_LLR_MAX, _LLR_MAX)
+    y = jnp.clip(y, -_LLR_MAX, _LLR_MAX)
+    return (jnp.log(1 + jnp.exp(x + y))
+            - jnp.log(jnp.exp(x) + jnp.exp(y)))
+
+
+def _g_op(x, y, u):
+    return (1 - 2 * u) * x + y
+
+
+def _sc_stages(n):
+    return int(np.log2(n))
+
+
+def _make_sc_body(n, frozen_mask_np, list_size=None):
+    """Builds the per-bit fori_loop body for SC (list_size=None) or
+    SCL decoding. State:
+      Ls   : tuple of arrays [2^s] (or [list, 2^s]) for s=0..m
+      Bls  : tuple of arrays [2^s] (or [list, 2^s]) for s=0..m-1
+      u    : [n] (or [list, n]) decisions
+      pm   : [list] path metrics (SCL only)
+    """
+    m = _sc_stages(n)
+    frozen_mask = jnp.asarray(frozen_mask_np, jnp.float32)
+
+    def propagate_llrs(i, Ls, Bls):
+        # number of trailing zeros of i (l); for i==0 use m-1 so that
+        # lp1 = m (full descent)
+        l = jnp.where(
+            i == 0, m - 1,
+            jnp.sum(jnp.cumprod(
+                (jnp.bitwise_and(
+                    jnp.right_shift(i, jnp.arange(m)), 1) == 0
+                 ).astype(jnp.int32))))
+        lp1 = l + 1
+        Ls = list(Ls)
+        for s in range(m, 0, -1):
+            half = 1 << (s - 1)
+            a = Ls[s][..., :half]
+            b = Ls[s][..., half:]
+            use_g = jnp.bitwise_and(jnp.right_shift(i, s - 1), 1) == 1
+            f_val = _boxplus(a, b)
+            g_val = _g_op(a, b, Bls[s - 1])
+            new = jnp.where(use_g, g_val, f_val)
+            active = s <= lp1
+            Ls[s - 1] = jnp.where(active, new, Ls[s - 1])
+        return tuple(Ls)
+
+    def update_partial_sums(i, Bls, cur):
+        """cur: decision bits of the just-completed node at level 0
+        ([..., 1]). Stores/combines partial sums level by level."""
+        Bls = list(Bls)
+        for s in range(m):
+            period = 1 << (s + 1)
+            store = jnp.mod(i, period) == ((1 << s) - 1)
+            Bls[s] = jnp.where(store, cur, Bls[s])
+            combined = jnp.concatenate(
+                [jnp.mod(Bls[s] + cur, 2), cur], axis=-1)
+            cur = combined
+        return tuple(Bls)
+
+    if list_size is None:
+        def body(i, state):
+            Ls, Bls, u = state
+            Ls = propagate_llrs(i, Ls, Bls)
+            llr0 = Ls[0][..., 0]
+            frozen_i = jnp.take(frozen_mask, i)
+            u_i = jnp.where(frozen_i > 0, 0.,
+                            (llr0 < 0).astype(jnp.float32))
+            u = u.at[..., i].set(u_i)
+            Bls = update_partial_sums(i, Bls, u_i[..., None])
+            return Ls, Bls, u
+        return body
+
+    # SCL body: arrays have leading list dim
+    def body(i, state):
+        Ls, Bls, u, pm = state
+        Ls = propagate_llrs(i, Ls, Bls)
+        llr0 = Ls[0][..., 0]  # [list]
+        frozen_i = jnp.take(frozen_mask, i)
+
+        # candidate decisions and path metrics
+        # pm update: pm + softplus(-(1-2u) * llr)
+        pm0 = pm + jax.nn.softplus(-jnp.clip(llr0, -_LLR_MAX,
+                                             _LLR_MAX))
+        pm1 = pm + jax.nn.softplus(jnp.clip(llr0, -_LLR_MAX,
+                                            _LLR_MAX))
+
+        def frozen_case():
+            return (jnp.zeros_like(llr0), pm0,
+                    jnp.arange(list_size, dtype=jnp.int32))
+
+        def info_case():
+            # branch: 2L candidates [u=0 paths ; u=1 paths]
+            pm_all = jnp.concatenate([pm0, pm1])
+            neg_pm, idx = jax.lax.top_k(-pm_all, list_size)
+            parents = jnp.mod(idx, list_size).astype(jnp.int32)
+            decisions = (idx >= list_size).astype(jnp.float32)
+            return decisions, -neg_pm, parents
+
+        u_i, pm, parents = jax.lax.cond(frozen_i > 0, frozen_case,
+                                        info_case)
+        # reorder all per-path state by parent index
+        Ls = tuple(jnp.take(a, parents, axis=0) for a in Ls)
+        Bls = tuple(jnp.take(a, parents, axis=0) for a in Bls)
+        u = jnp.take(u, parents, axis=0)
+        u = u.at[..., i].set(u_i)
+        Bls = update_partial_sums(i, Bls, u_i[..., None])
+        return Ls, Bls, u, pm
+
+    return body
+
+
+def _sc_decode_single(llr_ch, frozen_mask_np, n):
+    """SC decode one codeword; llr_ch [n] in classic convention.
+    Returns hard decisions u_hat [n]."""
+    m = _sc_stages(n)
+    body = _make_sc_body(n, frozen_mask_np)
+    Ls = tuple(jnp.zeros((1 << s,), llr_ch.dtype) for s in range(m)) \
+        + (llr_ch,)
+    Bls = tuple(jnp.zeros((1 << s,), llr_ch.dtype) for s in range(m))
+    u = jnp.zeros((n,), jnp.float32)
+    _, _, u = jax.lax.fori_loop(0, n, body, (Ls, Bls, u))
+    return u
+
+
+def _scl_decode_single(llr_ch, frozen_mask_np, n, list_size):
+    """SCL decode one codeword. Returns (u_hat [list, n], pm [list])
+    sorted so the best path can be selected by the caller."""
+    m = _sc_stages(n)
+    body = _make_sc_body(n, frozen_mask_np, list_size)
+    # all paths start identical; penalize duplicates so only path 0
+    # is initially active
+    Ls = tuple(jnp.tile(jnp.zeros((1, 1 << s), llr_ch.dtype),
+                        (list_size, 1)) for s in range(m)) \
+        + (jnp.tile(llr_ch[None], (list_size, 1)),)
+    Bls = tuple(jnp.zeros((list_size, 1 << s), llr_ch.dtype)
+                for s in range(m))
+    u = jnp.zeros((list_size, n), jnp.float32)
+    pm = jnp.where(jnp.arange(list_size) == 0, 0., 1e9).astype(
+        llr_ch.dtype)
+    _, _, u, pm = jax.lax.fori_loop(0, n, body, (Ls, Bls, u, pm))
+    return u, pm
+
+
+class PolarSCDecoder(Block):
+    """Successive cancellation decoder (reference decoding.py:15).
+
+    Input llr_ch [..., n] as logits; output hard info bits [..., k].
+    """
+
+    def __init__(self, frozen_pos, n, precision=None, **kwargs):
+        super().__init__(precision=precision, **kwargs)
+        if not isinstance(n, numbers.Number):
+            raise TypeError("n must be a number.")
+        n = int(n)
+        frozen_pos = np.asarray(frozen_pos)
+        if not np.issubdtype(frozen_pos.dtype, np.integer):
+            raise TypeError("frozen_pos contains non int.")
+        if len(frozen_pos) > n:
+            raise ValueError("Num. of elements in frozen_pos cannot "
+                             "be greater than n.")
+        if np.log2(n) != int(np.log2(n)):
+            raise ValueError("n must be a power of 2.")
+        self._n = n
+        self._frozen_pos = frozen_pos
+        self._k = n - len(frozen_pos)
+        self._info_pos = np.setdiff1d(np.arange(n), frozen_pos)
+        self._frozen_mask = np.zeros(n, np.float32)
+        self._frozen_mask[frozen_pos] = 1
+
+    @property
+    def n(self):
+        return self._n
+
+    @property
+    def k(self):
+        return self._k
+
+    @property
+    def frozen_pos(self):
+        return self._frozen_pos
+
+    @property
+    def info_pos(self):
+        return self._info_pos
+
+    def call(self, llr_ch, /):
+        llr_ch = jnp.asarray(llr_ch, self.rdtype)
+        in_shape = llr_ch.shape
+        llr = jnp.reshape(llr_ch, (-1, self._n))
+        llr = -llr  # logits -> classic LLRs
+        u_hat = jax.vmap(
+            lambda l: _sc_decode_single(l, self._frozen_mask,
+                                        self._n))(llr)
+        u_out = jnp.take(u_hat, jnp.asarray(self._info_pos), axis=-1)
+        return jnp.reshape(u_out, tuple(in_shape[:-1]) + (self._k,))
+
+
+class PolarSCLDecoder(Block):
+    """Successive cancellation list decoder
+    (reference decoding.py:266).
+
+    Input llr_ch [..., n] as logits; output hard info bits [..., k]
+    (best path; CRC-aided selection if ``crc_degree`` is set).
+    """
+
+    def __init__(self, frozen_pos, n, list_size=8, crc_degree=None,
+                 use_hybrid_sc=False, use_fast_scl=True,
+                 cpu_only=False, use_scatter=False, ind_iil_inv=None,
+                 return_crc_status=False, precision=None, **kwargs):
+        super().__init__(precision=precision, **kwargs)
+        # use_hybrid_sc/use_fast_scl/cpu_only/use_scatter are accepted
+        # for API parity; the TPU implementation needs none of them.
+        n = int(n)
+        frozen_pos = np.asarray(frozen_pos)
+        if np.log2(n) != int(np.log2(n)):
+            raise ValueError("n must be a power of 2.")
+        if not (isinstance(list_size, int)
+                and (list_size & (list_size - 1)) == 0):
+            raise ValueError("list_size must be a power of 2.")
+        self._n = n
+        self._frozen_pos = frozen_pos
+        self._k = n - len(frozen_pos)
+        self._info_pos = np.setdiff1d(np.arange(n), frozen_pos)
+        self._frozen_mask = np.zeros(n, np.float32)
+        self._frozen_mask[frozen_pos] = 1
+        self._list_size = list_size
+        self._return_crc_status = bool(return_crc_status)
+        self._ind_iil_inv = ind_iil_inv
+
+        if crc_degree is not None:
+            self._crc_encoder = CRCEncoder(crc_degree,
+                                           precision=precision)
+            self._k_crc = self._crc_encoder.crc_length
+        else:
+            self._crc_encoder = None
+            self._k_crc = 0
+
+    @property
+    def n(self):
+        return self._n
+
+    @property
+    def k(self):
+        return self._k
+
+    @property
+    def k_crc(self):
+        return self._k_crc
+
+    @property
+    def frozen_pos(self):
+        return self._frozen_pos
+
+    @property
+    def info_pos(self):
+        return self._info_pos
+
+    @property
+    def list_size(self):
+        return self._list_size
+
+    def _select_path(self, u_cand, pm):
+        """Selects the output path: CRC-aided if available, else
+        lowest path metric. u_cand: [list, k]."""
+        if self._crc_encoder is None:
+            best = jnp.argmin(pm)
+            return u_cand[best], jnp.asarray(True)
+        # CRC check per path (optionally undo input interleaving)
+        u_check = u_cand
+        if self._ind_iil_inv is not None:
+            u_check = jnp.take(u_cand,
+                               jnp.asarray(self._ind_iil_inv), axis=-1)
+        k_info = self._k - self._k_crc
+        info = u_check[..., :k_info]
+        parity_rx = u_check[..., k_info:]
+        pmat = jnp.asarray(self._crc_encoder._get_pmat(k_info),
+                           self.rdtype)
+        parity = jnp.mod(jnp.matmul(info, pmat), 2)
+        crc_ok = jnp.all(parity == parity_rx, axis=-1)  # [list]
+        # among CRC-passing paths pick lowest pm; fall back to global
+        # best if none passes
+        pm_crc = jnp.where(crc_ok, pm, jnp.inf)
+        any_ok = jnp.any(crc_ok)
+        best = jnp.where(any_ok, jnp.argmin(pm_crc), jnp.argmin(pm))
+        return u_cand[best], any_ok
+
+    def call(self, llr_ch, /):
+        llr_ch = jnp.asarray(llr_ch, self.rdtype)
+        in_shape = llr_ch.shape
+        llr = -jnp.reshape(llr_ch, (-1, self._n))
+
+        def decode_one(l):
+            u_list, pm = _scl_decode_single(l, self._frozen_mask,
+                                            self._n, self._list_size)
+            u_cand = jnp.take(u_list, jnp.asarray(self._info_pos),
+                              axis=-1)
+            return self._select_path(u_cand, pm)
+
+        u_hat, crc_status = jax.vmap(decode_one)(llr)
+        u_hat = jnp.reshape(u_hat, tuple(in_shape[:-1]) + (self._k,))
+        if self._return_crc_status:
+            crc_status = jnp.reshape(crc_status, in_shape[:-1])
+            return u_hat, crc_status
+        return u_hat
+
+
+class PolarBPDecoder(Block):
+    """Iterative belief-propagation decoder on the polar factor graph
+    (reference decoding.py:1440).
+
+    Input llr_ch [..., n] as logits; output info bits (hard or soft).
+    """
+
+    def __init__(self, frozen_pos, n, num_iter=20, hard_out=True,
+                 precision=None, **kwargs):
+        super().__init__(precision=precision, **kwargs)
+        n = int(n)
+        frozen_pos = np.asarray(frozen_pos)
+        if np.log2(n) != int(np.log2(n)):
+            raise ValueError("n must be a power of 2.")
+        self._n = n
+        self._frozen_pos = frozen_pos
+        self._k = n - len(frozen_pos)
+        self._info_pos = np.setdiff1d(np.arange(n), frozen_pos)
+        self._num_iter = int(num_iter)
+        self._hard_out = bool(hard_out)
+        frozen_mask = np.zeros(n, np.float32)
+        frozen_mask[frozen_pos] = 1
+        self._frozen_mask = frozen_mask
+        self._m = _sc_stages(n)
+
+    @property
+    def n(self):
+        return self._n
+
+    @property
+    def k(self):
+        return self._k
+
+    @property
+    def frozen_pos(self):
+        return self._frozen_pos
+
+    @property
+    def info_pos(self):
+        return self._info_pos
+
+    @property
+    def num_iter(self):
+        return self._num_iter
+
+    def _stage_view(self, x, s):
+        """Reshapes [..., n] into butterfly pairs of stage s:
+        [..., n/2^{s+1}, 2, 2^s]."""
+        n = self._n
+        return jnp.reshape(x, x.shape[:-1] + (n >> (s + 1), 2, 1 << s))
+
+    def call(self, llr_ch, /):
+        llr_ch = jnp.asarray(llr_ch, self.rdtype)
+        in_shape = llr_ch.shape
+        llr = -jnp.reshape(llr_ch, (-1, self._n))
+        batch = llr.shape[0]
+        m, n = self._m, self._n
+
+        # message arrays: l_msg[s] right-to-left messages entering
+        # stage boundary s (s=0 leaves ... s=m channel);
+        # r_msg[s] left-to-right messages at boundary s
+        frozen = jnp.asarray(self._frozen_mask)
+        r0 = jnp.where(frozen > 0, _LLR_MAX, 0.)
+        r0 = jnp.broadcast_to(r0, (batch, n))
+
+        l_msgs = jnp.zeros((m + 1, batch, n), llr.dtype)
+        l_msgs = l_msgs.at[m].set(llr)
+        r_msgs = jnp.zeros((m + 1, batch, n), llr.dtype)
+        r_msgs = r_msgs.at[0].set(r0)
+
+        def stage_update_r(s, l_in, r_in):
+            """Computes r_{s+1} from (r_s, l_{s+1}) at stage s."""
+            rv = self._stage_view(r_in, s)
+            lv = self._stage_view(l_in, s)
+            r_up, r_low = rv[..., 0, :], rv[..., 1, :]
+            l_up, l_low = lv[..., 0, :], lv[..., 1, :]
+            out_up = _boxplus(r_up, l_low + r_low)
+            out_low = _boxplus(r_up, l_up) + r_low
+            out = jnp.stack([out_up, out_low], axis=-2)
+            return jnp.reshape(out, r_in.shape)
+
+        def stage_update_l(s, l_in, r_in):
+            """Computes l_s from (l_{s+1}, r_s) at stage s."""
+            lv = self._stage_view(l_in, s)
+            rv = self._stage_view(r_in, s)
+            l_up, l_low = lv[..., 0, :], lv[..., 1, :]
+            r_up, r_low = rv[..., 0, :], rv[..., 1, :]
+            out_up = _boxplus(l_up, l_low + r_low)
+            out_low = _boxplus(l_up, r_up) + l_low
+            out = jnp.stack([out_up, out_low], axis=-2)
+            return jnp.reshape(out, l_in.shape)
+
+        def one_iter(_, msgs):
+            l_msgs, r_msgs = msgs
+            # left-to-right sweep
+            for s in range(m):
+                r_new = stage_update_r(s, l_msgs[s + 1], r_msgs[s])
+                r_msgs = r_msgs.at[s + 1].set(r_new)
+            # right-to-left sweep
+            for s in range(m - 1, -1, -1):
+                l_new = stage_update_l(s, l_msgs[s + 1], r_msgs[s])
+                l_msgs = l_msgs.at[s].set(l_new)
+            return l_msgs, r_msgs
+
+        l_msgs, r_msgs = jax.lax.fori_loop(0, self._num_iter, one_iter,
+                                           (l_msgs, r_msgs))
+        # decision at the leaves (classic convention)
+        llr_u = l_msgs[0] + r_msgs[0]
+        u = jnp.take(llr_u, jnp.asarray(self._info_pos), axis=-1)
+        if self._hard_out:
+            out = (u < 0).astype(self.rdtype)
+        else:
+            out = -u  # back to logit convention
+        return jnp.reshape(out, tuple(in_shape[:-1]) + (self._k,))
+
+
+class Polar5GDecoder(Block):
+    """5G polar decoder with rate recovery
+    (reference decoding.py:1774).
+
+    Wraps SC / SCL (CRC-aided) / BP and inverts the 5G rate matching
+    of an associated :class:`Polar5GEncoder`.
+    """
+
+    def __init__(self, enc_polar, dec_type="SC", list_size=8,
+                 num_iter=20, return_crc_status=False, precision=None,
+                 **kwargs):
+        super().__init__(precision=precision, **kwargs)
+        if not isinstance(enc_polar, Polar5GEncoder):
+            raise TypeError("enc_polar must be Polar5GEncoder.")
+        if dec_type not in ("SC", "SCL", "hybSCL", "BP"):
+            raise ValueError("Unknown dec_type.")
+        self._encoder = enc_polar
+        self._dec_type = dec_type
+        self._return_crc_status = bool(return_crc_status)
+        n_polar = enc_polar.n_polar
+        frozen_pos = enc_polar.frozen_pos
+
+        # inverse input interleaver (downlink) for CRC-aided selection
+        ind_iil_inv = None
+        if enc_polar._ind_input_int is not None:
+            ind_iil_inv = np.argsort(enc_polar._ind_input_int)
+
+        if dec_type == "SC":
+            self._decoder = PolarSCDecoder(frozen_pos, n_polar,
+                                           precision=precision)
+        elif dec_type in ("SCL", "hybSCL"):
+            self._decoder = PolarSCLDecoder(
+                frozen_pos, n_polar, list_size=list_size,
+                crc_degree=enc_polar.enc_crc.crc_degree,
+                ind_iil_inv=ind_iil_inv,
+                return_crc_status=True, precision=precision)
+        else:
+            self._decoder = PolarBPDecoder(frozen_pos, n_polar,
+                                           num_iter=num_iter,
+                                           precision=precision)
+        self._crc_decoder = CRCDecoder(enc_polar.enc_crc,
+                                       precision=precision)
+        # rate-recovery scatter: accumulate received LLRs back onto
+        # mother-codeword positions (handles repetition by summation;
+        # punctured positions get 0, shortened positions get +inf
+        # towards bit 0)
+        self._rm_ind = enc_polar._ind_rate_matching
+        k_polar = enc_polar.k_polar
+        n_target = enc_polar.n_target
+        # shortened positions: codeword bits known to be zero
+        if n_target < n_polar and k_polar / n_target > 7 / 16:
+            covered = np.unique(self._rm_ind)
+            self._shortened_pos = np.setdiff1d(np.arange(n_polar),
+                                               covered)
+        else:
+            self._shortened_pos = np.zeros(0, int)
+        self._ind_input_int = enc_polar._ind_input_int
+
+    @property
+    def dec_type(self):
+        return self._dec_type
+
+    @property
+    def decoder(self):
+        return self._decoder
+
+    def call(self, llr_ch, /):
+        enc = self._encoder
+        llr_ch = jnp.asarray(llr_ch, self.rdtype)
+        in_shape = llr_ch.shape
+        llr = jnp.reshape(llr_ch, (-1, enc.n_target))
+        batch = llr.shape[0]
+
+        # undo rate matching: scatter-add onto mother codeword; the
+        # logit convention flows straight through (sum of repeated
+        # observations)
+        llr_mother = jnp.zeros((batch, enc.n_polar), llr.dtype)
+        llr_mother = llr_mother.at[:, jnp.asarray(self._rm_ind)].add(
+            llr)
+        if len(self._shortened_pos) > 0:
+            # shortened bits are known zeros: strong negative logit
+            llr_mother = llr_mother.at[
+                :, jnp.asarray(self._shortened_pos)].set(-_LLR_MAX)
+
+        out = self._decoder(llr_mother)
+        if self._dec_type in ("SCL", "hybSCL"):
+            u_crc, crc_status = out
+        else:
+            u_crc = out
+            crc_status = None
+        # undo downlink input interleaving
+        if self._ind_input_int is not None:
+            u_crc = jnp.take(u_crc,
+                             jnp.asarray(
+                                 np.argsort(self._ind_input_int)),
+                             axis=-1)
+        u_hat, crc_ok = self._crc_decoder(u_crc)
+        if crc_status is None:
+            crc_status = crc_ok[..., 0]
+        u_hat = jnp.reshape(u_hat,
+                            tuple(in_shape[:-1]) + (enc.k_target,))
+        if self._return_crc_status:
+            crc_status = jnp.reshape(crc_status, in_shape[:-1])
+            return u_hat, crc_status
+        return u_hat

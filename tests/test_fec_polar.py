@@ -1,0 +1,132 @@
+"""Polar code tests: golden vectors (encoder + SC decoder) and
+roundtrips for SCL/BP/5G."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sionna_tpu.phy.fec.polar import (
+    PolarEncoder, Polar5GEncoder, PolarSCDecoder, PolarSCLDecoder,
+    PolarBPDecoder, Polar5GDecoder, generate_5g_ranking,
+    generate_polar_transform_mat, generate_rm_code,
+    generate_dense_polar)
+
+CODES = "tests/codes/polar"
+
+
+def test_polar_transform_matches_dense():
+    n = 64
+    frozen, info = generate_5g_ranking(32, n)
+    enc = PolarEncoder(frozen, n)
+    rng = np.random.default_rng(0)
+    b = rng.integers(0, 2, (10, 32)).astype(np.float32)
+    c = np.asarray(enc(jnp.asarray(b)))
+    g = generate_polar_transform_mat(6)
+    u = np.zeros((10, n))
+    u[:, info] = b
+    np.testing.assert_array_equal(c, (u @ g) % 2)
+
+
+@pytest.mark.parametrize("name", ["E45_k30_K41", "E70_k32_K43",
+                                  "E127_k29_K40", "E1023_k400_K411",
+                                  "E70_k28_K39"])
+def test_polar5g_encoder_golden(name):
+    u = np.load(f"{CODES}/{name}_u.npy")
+    c_ref = np.load(f"{CODES}/{name}_c.npy")
+    enc = Polar5GEncoder(u.shape[1], c_ref.shape[1])
+    c = np.asarray(enc(jnp.asarray(u, jnp.float32)))
+    np.testing.assert_array_equal(c, c_ref)
+
+
+@pytest.mark.parametrize("name", ["P_128_37", "P_128_110",
+                                  "P_256_128"])
+def test_polar_sc_decoder_golden(name):
+    a_vec = np.load(f"{CODES}/{name}_Avec.npy")
+    llr_ch = np.load(f"{CODES}/{name}_Lch.npy")
+    u_hat_ref = np.load(f"{CODES}/{name}_uhat.npy")
+    frozen_pos = np.array(np.where(a_vec == 0)[0])
+    dec = PolarSCDecoder(frozen_pos, len(a_vec))
+    u_hat = np.asarray(dec(jnp.asarray(-llr_ch, jnp.float32)))
+    np.testing.assert_array_equal(u_hat, u_hat_ref)
+
+
+def _noisy_llr(c, ebno_db, rate, rng):
+    esno = 10 ** (ebno_db / 10) * rate
+    sigma2 = 1 / (2 * esno)
+    y = (1 - 2 * c) + rng.normal(0, np.sqrt(sigma2), c.shape)
+    return -2 * y / sigma2  # logits
+
+
+def test_scl_outperforms_sc():
+    rng = np.random.default_rng(1)
+    k, n = 64, 128
+    frozen, _ = generate_5g_ranking(k, n)
+    enc = PolarEncoder(frozen, n)
+    b = rng.integers(0, 2, (200, k)).astype(np.float32)
+    c = np.asarray(enc(jnp.asarray(b)))
+    llr = jnp.asarray(_noisy_llr(c, 2.0, 0.5, rng), jnp.float32)
+    sc = PolarSCDecoder(frozen, n)
+    scl = PolarSCLDecoder(frozen, n, list_size=8)
+    bler_sc = np.mean(np.any(np.asarray(sc(llr)) != b, axis=-1))
+    bler_scl = np.mean(np.any(np.asarray(scl(llr)) != b, axis=-1))
+    assert bler_scl <= bler_sc
+
+
+def test_bp_decoder():
+    rng = np.random.default_rng(2)
+    k, n = 32, 64
+    frozen, _ = generate_5g_ranking(k, n)
+    enc = PolarEncoder(frozen, n)
+    b = rng.integers(0, 2, (50, k)).astype(np.float32)
+    c = np.asarray(enc(jnp.asarray(b)))
+    dec = PolarBPDecoder(frozen, n, num_iter=20)
+    u = np.asarray(dec(jnp.asarray((2 * c - 1) * 6.0, jnp.float32)))
+    np.testing.assert_array_equal(u, b)
+    # soft output
+    dec_soft = PolarBPDecoder(frozen, n, num_iter=20, hard_out=False)
+    llr_out = np.asarray(dec_soft(jnp.asarray((2 * c - 1) * 6.0,
+                                              jnp.float32)))
+    np.testing.assert_array_equal((llr_out > 0).astype(np.float32), b)
+
+
+@pytest.mark.parametrize("dec_type", ["SC", "SCL", "BP"])
+def test_polar5g_roundtrip(dec_type):
+    rng = np.random.default_rng(3)
+    k, n = 64, 128
+    enc = Polar5GEncoder(k, n)
+    dec = Polar5GDecoder(enc, dec_type=dec_type, list_size=8)
+    b = rng.integers(0, 2, (20, k)).astype(np.float32)
+    c = np.asarray(enc(jnp.asarray(b)))
+    u = np.asarray(dec(jnp.asarray((2 * c - 1) * 6.0, jnp.float32)))
+    np.testing.assert_array_equal(u, b)
+
+
+def test_polar5g_crc_status():
+    rng = np.random.default_rng(4)
+    k, n = 32, 64
+    enc = Polar5GEncoder(k, n)
+    dec = Polar5GDecoder(enc, dec_type="SCL", list_size=4,
+                         return_crc_status=True)
+    b = rng.integers(0, 2, (8, k)).astype(np.float32)
+    c = np.asarray(enc(jnp.asarray(b)))
+    u, crc = dec(jnp.asarray((2 * c - 1) * 6.0, jnp.float32))
+    assert np.all(np.asarray(crc))
+    # garbage input: CRC should mostly fail
+    u2, crc2 = dec(jnp.asarray(
+        rng.normal(size=(8, n)), jnp.float32))
+    assert np.mean(np.asarray(crc2)) < 0.5
+
+
+def test_rm_code():
+    frozen, info, n, k, d_min = generate_rm_code(1, 3)
+    assert (n, k, d_min) == (8, 4, 4)
+
+
+def test_dense_polar():
+    frozen, _ = generate_5g_ranking(16, 32)
+    pcm, gm = generate_dense_polar(frozen, 32, verbose=False)
+    assert gm.shape == (16, 32)
+    assert pcm.shape == (16, 32)
+    assert np.sum((pcm @ gm.T) % 2) == 0
