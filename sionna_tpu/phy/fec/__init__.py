@@ -5,6 +5,11 @@ from . import crc
 from . import scrambling
 from . import interleaving
 from . import ldpc
+from . import polar
+from . import conv
+from . import turbo
+from . import linear
+from . import utils
 from .crc import CRCEncoder, CRCDecoder
 from .scrambling import Scrambler, TB5GScrambler, Descrambler
 from .interleaving import (RowColumnInterleaver, RandomInterleaver,
