@@ -8,6 +8,7 @@ system-level simulation, and RT ray tracing.
 __version__ = "0.1.0"
 
 from . import phy
+from . import sys
 
 _LAZY_SUBPACKAGES = ("sys", "rt", "parallel", "ops")
 

@@ -24,4 +24,8 @@ from .utils import (subcarrier_frequencies, time_frequency_vector,
                     time_lag_discrete_time_channel, cir_to_ofdm_channel,
                     cir_to_time_channel, time_to_ofdm_channel,
                     deg_2_rad, rad_2_deg, wrap_angle_0_360, exp_corr_mat,
-                    one_ring_corr_mat)
+                    one_ring_corr_mat, drop_uts_in_sector,
+                    set_3gpp_scenario_parameters, relocate_uts,
+                    generate_uts_topology, random_ut_properties,
+                    gen_single_sector_topology,
+                    gen_single_sector_topology_interferers)
