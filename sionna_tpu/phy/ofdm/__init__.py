@@ -15,4 +15,8 @@ from .detection import (OFDMDetector, OFDMDetectorWithPrior,
                         MaximumLikelihoodDetectorWithPrior,
                         KBestDetector, EPDetector, MMSEPICDetector)
 from .equalization import (OFDMEqualizer, LMMSEEqualizer, ZFEqualizer,
-                           MFEqualizer)
+                           MFEqualizer, PostEqualizationSINR,
+                           LMMSEPostEqualizationSINR)
+from .precoding import (RZFPrecoder, PrecodedChannel,
+                        RZFPrecodedChannel, CBFPrecodedChannel,
+                        EyePrecodedChannel)
