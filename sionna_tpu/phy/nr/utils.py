@@ -10,7 +10,8 @@ import numpy as np
 from ..fec.scrambling import generate_prng_seq as _generate_prng_seq
 
 __all__ = ["generate_prng_seq", "decode_mcs_index",
-           "calculate_num_coded_bits", "calculate_tb_size"]
+           "calculate_num_coded_bits", "calculate_tb_size",
+           "MCSDecoderNR", "TransportBlockNR", "CodedAWGNChannelNR"]
 
 
 def generate_prng_seq(length, c_init):
@@ -225,3 +226,108 @@ def calculate_tb_size(modulation_order, target_coderate,
     cw_length = cw_length.reshape(shape + (num_cols,)).astype(np.int32)
     return (tb_size, cb_size, num_cb, tb_crc_length, cb_crc_length,
             cw_length)
+
+
+# ----------------------------------------------------------------------
+# SYS-facing adapters (reference nr/utils.py:307,813,860)
+# ----------------------------------------------------------------------
+from ..utils.misc import (MCSDecoder, TransportBlock,  # noqa: E402
+                          SingleLinkChannel)
+
+
+class MCSDecoderNR(MCSDecoder):
+    """5G-NR MCS index -> (modulation order, coderate) mapping
+    (wraps :func:`decode_mcs_index`; reference nr/utils.py:307).
+    mcs_category: 0 for PUSCH, 1 for PDSCH."""
+
+    def call(self, mcs_index, mcs_table_index, mcs_category, *,
+             check_index_validity=True, transform_precoding=False,
+             pi2bpsk=False, verbose=False, **kwargs):
+        mod, rate = decode_mcs_index(
+            np.asarray(mcs_index),
+            table_index=np.asarray(mcs_table_index),
+            is_pusch=(np.asarray(mcs_category) == 0),
+            transform_precoding=transform_precoding,
+            pi2bpsk=pi2bpsk,
+            check_index_validity=check_index_validity,
+            verbose=verbose)
+        return np.asarray(mod, np.int32), np.asarray(rate,
+                                                     self.np_rdtype)
+
+
+class TransportBlockNR(TransportBlock):
+    """Number and size of code blocks in a 5G-NR transport block
+    (wraps :func:`calculate_tb_size`; reference nr/utils.py:813)."""
+
+    def call(self, modulation_order, target_coderate, num_coded_bits,
+             **kwargs):
+        _, cb_size, num_cb, *_ = calculate_tb_size(
+            np.asarray(modulation_order),
+            np.asarray(target_coderate),
+            num_coded_bits=np.asarray(num_coded_bits),
+            tb_scaling=1., return_cw_length=False, verbose=False)
+        return (np.asarray(cb_size, np.int32),
+                np.asarray(num_cb, np.int32))
+
+
+class CodedAWGNChannelNR(SingleLinkChannel):
+    """5G-NR single-link LDPC-coded AWGN channel for BLER table
+    generation (reference nr/utils.py:860).  Call:
+    (batch_size, ebno_db[, key]) -> (bits, bits_hat)."""
+
+    def __init__(self, num_bits_per_symbol=None, num_info_bits=None,
+                 target_coderate=None, num_iter_decoder=20,
+                 cn_update_decoder="boxplus-phi", precision=None,
+                 **kwargs):
+        super().__init__(num_bits_per_symbol, num_info_bits,
+                         target_coderate, precision=precision)
+        self._num_iter_decoder = int(num_iter_decoder)
+        self._cn_update_decoder = cn_update_decoder
+        self._kwargs = kwargs
+        self._built_for = None
+
+    def _build(self):
+        # Lazily (re)build when the code parameters change
+        spec = (self.num_bits_per_symbol, self.num_info_bits,
+                self.target_coderate)
+        if self._built_for == spec:
+            return
+        from ..mapping import Mapper, Demapper, BinarySource
+        from ..channel import AWGN
+        from ..fec.ldpc import LDPC5GEncoder, LDPC5GDecoder
+        self._binary_source = BinarySource(precision=self.precision)
+        self._mapper = Mapper("qam", self.num_bits_per_symbol,
+                              precision=self.precision)
+        self._demapper = Demapper("app", "qam",
+                                  self.num_bits_per_symbol,
+                                  precision=self.precision)
+        self._awgn = AWGN(precision=self.precision)
+        self._encoder = LDPC5GEncoder(
+            self.num_info_bits, self.num_coded_bits,
+            num_bits_per_symbol=self.num_bits_per_symbol)
+        self._decoder = LDPC5GDecoder(
+            self._encoder, hard_out=True,
+            num_iter=self._num_iter_decoder,
+            cn_update=self._cn_update_decoder,
+            precision=self.precision, **self._kwargs)
+        self._built_for = spec
+
+    def call(self, batch_size, ebno_db, key=None):
+        import jax
+        from ..config import config as _config
+        from ..utils.misc import ebnodb2no
+        self._build()
+        if key is None:
+            key = _config.next_key()
+        k1, k2 = jax.random.split(key)
+        no = ebnodb2no(ebno_db,
+                       num_bits_per_symbol=self.num_bits_per_symbol,
+                       coderate=self.target_coderate)
+        bits = self._binary_source([batch_size, self.num_info_bits],
+                                   key=k1)
+        codewords = self._encoder(bits)
+        x = self._mapper(codewords)
+        y = self._awgn(x, no, key=k2)
+        llr = self._demapper(y, no)
+        bits_hat = self._decoder(llr)
+        return bits, bits_hat

@@ -156,40 +156,78 @@ def scalar_to_shaped_tensor(inp, dtype, shape):
 class DeepUpdateDict(dict):
     """dict with recursive merge (reference misc.py:966)."""
 
-    def deep_update(self, delta):
+    def deep_update(self, delta, stop_at_keys=()):
         for k, v in delta.items():
             if (k in self and isinstance(self[k], dict)
-                    and isinstance(v, dict)):
+                    and isinstance(v, dict) and k not in stop_at_keys):
                 if not isinstance(self[k], DeepUpdateDict):
                     self[k] = DeepUpdateDict(self[k])
-                self[k].deep_update(v)
+                self[k].deep_update(v, stop_at_keys=stop_at_keys)
             else:
                 self[k] = v
 
 
 class Interpolate(ABC):
-    """Abstract 2D interpolation onto fine grids (reference misc.py:1055)."""
+    """Abstract 2D interpolation onto fine grids (reference
+    misc.py:1055).  ``struct`` handles data on a rectangular (x, y)
+    grid; ``unstruct`` handles scattered samples."""
 
     @abstractmethod
-    def __call__(self, x, y, z, x_interp, y_interp):
-        ...
+    def struct(self, z, x, y, x_interp, y_interp, **kwargs):
+        """z: [N, M] on grid (x [N], y [M]) -> [L, J]"""
+
+    @abstractmethod
+    def unstruct(self, z, x, y, x_interp, y_interp, **kwargs):
+        """z, x, y: [N] scattered samples -> [L, J]"""
 
 
 class SplineGriddataInterpolation(Interpolate):
-    """Spline + griddata interpolation via SciPy, host/offline only
-    (reference misc.py:1147). Used for BLER table construction."""
+    """Spline (structured) + griddata (unstructured) interpolation via
+    SciPy; host/offline only (reference misc.py:1147).  Used for BLER
+    table construction."""
 
-    def __call__(self, mat, id1, id2, x_interp, y_interp):
+    def struct(self, z, x, y, x_interp, y_interp, spline_degree=1,
+               **kwargs):
         from scipy.interpolate import RectBivariateSpline
-        x = np.asarray(id1, np.float64)
-        y = np.asarray(id2, np.float64)
-        z = np.asarray(mat, np.float64)
-        kx = min(3, len(x) - 1)
-        ky = min(3, len(y) - 1)
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y, np.float64)
+        z = np.asarray(z, np.float64)
+        x_interp = np.asarray(x_interp, np.float64)
+        y_interp = np.asarray(y_interp, np.float64)
+        # Degenerate axes (single sample): interpolate 1D along the
+        # other axis and broadcast
+        if len(x) < 2 and len(y) < 2:
+            return np.full((len(x_interp), len(y_interp)), z[0, 0])
+        if len(x) < 2:
+            row = np.interp(y_interp, y, z[0])
+            return np.broadcast_to(row, (len(x_interp), len(y_interp)))
+        if len(y) < 2:
+            col = np.interp(x_interp, x, z[:, 0])
+            return np.broadcast_to(col[:, None],
+                                   (len(x_interp), len(y_interp)))
+        kx = min(spline_degree, len(x) - 1)
+        ky = min(spline_degree, len(y) - 1)
         spline = RectBivariateSpline(x, y, z, kx=kx, ky=ky)
-        out = spline(np.asarray(x_interp, np.float64),
-                     np.asarray(y_interp, np.float64))
-        return jnp.asarray(out)
+        return spline(x_interp, y_interp)
+
+    def unstruct(self, z, x, y, x_interp, y_interp,
+                 griddata_method="linear", **kwargs):
+        from scipy.interpolate import griddata
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y, np.float64)
+        z = np.asarray(z, np.float64)
+        xg, yg = np.meshgrid(np.asarray(x_interp, np.float64),
+                             np.asarray(y_interp, np.float64),
+                             indexing="ij")
+        pts = np.stack([x, y], axis=-1)
+        if len(z) < 4:
+            # Too few samples for triangulation: nearest-neighbor
+            d2 = ((xg[..., None] - x) ** 2 + (yg[..., None] - y) ** 2)
+            return z[np.argmin(d2, axis=-1)]
+        try:
+            return griddata(pts, z, (xg, yg), method=griddata_method)
+        except Exception:  # degenerate geometry -> nearest
+            return griddata(pts, z, (xg, yg), method="nearest")
 
 
 class MCSDecoder(Block):
@@ -219,6 +257,18 @@ class SingleLinkChannel(Block):
         self.num_bits_per_symbol = num_bits_per_symbol
         self.num_info_bits = num_info_bits
         self.target_coderate = target_coderate
+
+    @property
+    def num_coded_bits(self):
+        """Number of coded bits per code block: ceil(k / r) rounded up
+        to a multiple of the modulation order (reference
+        misc.py:1461)."""
+        if None in (self.num_info_bits, self.target_coderate,
+                    self.num_bits_per_symbol):
+            return None
+        n = self.num_info_bits / self.target_coderate
+        m = self.num_bits_per_symbol
+        return int(np.ceil(n / m) * m)
 
     def call(self, batch_size, ebno_db):
         raise NotImplementedError
