@@ -9,6 +9,7 @@ from .demodulator import OFDMDemodulator
 from .channel_estimation import (
     BaseChannelEstimator, BaseChannelInterpolator, LSChannelEstimator,
     NearestNeighborInterpolator, LinearInterpolator, LMMSEInterpolator,
+    LMMSEInterpolator1D, SpatialChannelFilter,
     tdl_freq_cov_mat, tdl_time_cov_mat)
 from .detection import (OFDMDetector, OFDMDetectorWithPrior,
                         LinearDetector, MaximumLikelihoodDetector,

@@ -21,6 +21,7 @@ from .resource_grid import ResourceGrid, RemoveNulledSubcarriers
 __all__ = ["BaseChannelEstimator", "BaseChannelInterpolator",
            "LSChannelEstimator", "NearestNeighborInterpolator",
            "LinearInterpolator", "LMMSEInterpolator",
+           "LMMSEInterpolator1D", "SpatialChannelFilter",
            "tdl_freq_cov_mat", "tdl_time_cov_mat"]
 
 
@@ -343,3 +344,188 @@ class LSChannelEstimator(BaseChannelEstimator):
                             no_b / jnp.maximum(p2, 1e-30))
         err_var = jnp.broadcast_to(err_var, h_ls.shape)
         return h_ls, err_var
+
+
+class LMMSEInterpolator1D(Object):
+    """LMMSE interpolation along the inner dimension of a 2D grid
+    (reference channel_estimation.py:736; fresh JAX implementation).
+
+    The per-row interpolation matrix A_n = R Pi_n (Pi_n^T R Pi_n +
+    Sigma_n)^{-1} Pi_n^T depends on the call-time error variances, so
+    it is computed inside the jitted call as a batch of dense solves
+    over statically padded pilot index maps (MXU-friendly; no ragged
+    shapes).
+
+    pilot_mask: [num_tx, num_streams_per_tx, N, M] with 0=data,
+    1=pilot, 2=unused.  cov_mat: [M, M].  Inputs h_hat/err_var:
+    [batch, num_rx, num_rx_ant, num_tx, num_streams_per_tx, N, M].
+    """
+
+    def __init__(self, pilot_mask, cov_mat, last_step=True):
+        cov_mat = np.asarray(cov_mat)
+        precision = "single" if cov_mat.dtype == np.complex64 \
+            else "double"
+        super().__init__(precision=precision)
+        self._cov_mat = cov_mat.astype(self.np_cdtype)
+        self._last_step = bool(last_step)
+
+        pilot_mask = np.asarray(pilot_mask)
+        num_tx, num_st, n_outer, m_inner = pilot_mask.shape
+        # Padded pilot index maps [tx, st, N, K] and validity masks
+        max_k = 1
+        for tx in range(num_tx):
+            for st in range(num_st):
+                for n in range(n_outer):
+                    max_k = max(max_k, int(np.sum(
+                        pilot_mask[tx, st, n] == 1)))
+        idx = np.zeros((num_tx, num_st, n_outer, max_k), np.int32)
+        valid = np.zeros((num_tx, num_st, n_outer, max_k),
+                         self.np_rdtype)
+        for tx in range(num_tx):
+            for st in range(num_st):
+                for n in range(n_outer):
+                    p = np.where(pilot_mask[tx, st, n] == 1)[0]
+                    idx[tx, st, n, :len(p)] = p
+                    valid[tx, st, n, :len(p)] = 1.
+        self._pilot_idx = idx
+        self._pilot_valid = valid
+        self._m_inner = m_inner
+
+    def __call__(self, h_hat, err_var):
+        h_hat = jnp.asarray(h_hat, self.cdtype)
+        err_var = jnp.broadcast_to(
+            jnp.asarray(err_var, self.rdtype), h_hat.shape)
+        err_var_old = err_var
+
+        r = jnp.asarray(self._cov_mat)                    # [M, M]
+        idx = jnp.asarray(self._pilot_idx)                # [t,s,N,K]
+        valid = jnp.asarray(self._pilot_valid, self.rdtype)
+        valid_c = valid.astype(self.cdtype)
+
+        # R restricted to pilots: Rp [t,s,N,M,K], Rpp [t,s,N,K,K]
+        rp = jnp.take(r, idx, axis=1)                     # [M,t,s,N,K]
+        rp = jnp.moveaxis(rp, 0, -2) * valid_c[..., None, :]
+        # gather rows then columns -> [t,s,N,K,K]
+        rows = jnp.take(r, idx, axis=0)                   # [t,s,N,K,M]
+        rpp = jnp.take_along_axis(
+            rows, idx[..., None, :].repeat(rows.shape[-2], axis=-2),
+            axis=-1)                                      # [t,s,N,K,K]
+        pair = valid[..., :, None] * valid[..., None, :]
+        eye = jnp.eye(idx.shape[-1], dtype=self.cdtype)
+        rpp = rpp * pair.astype(self.cdtype) \
+            + (1. - pair).astype(self.cdtype) * eye
+
+        # Error variances at pilots (regularized)
+        err_p = jnp.take_along_axis(
+            err_var, jnp.broadcast_to(idx, err_var.shape[:-1]
+                                      + idx.shape[-1:]), axis=-1)
+        err_p = jnp.maximum(err_p, 1e-6) * valid
+        a_mat = rpp + jnp.vectorize(
+            jnp.diag, signature="(k)->(k,k)")(err_p.astype(self.cdtype))
+
+        # A = Rp (Rpp + Sigma)^{-1} per row: batched solve
+        a_t = jnp.linalg.solve(
+            jnp.swapaxes(a_mat, -2, -1),
+            jnp.swapaxes(jnp.broadcast_to(
+                rp, err_p.shape[:-1] + rp.shape[-2:]), -2, -1))
+        a = jnp.swapaxes(a_t, -2, -1)                     # [...,M,K]
+        a = a * valid_c[..., None, :]
+
+        # Interpolated estimates
+        h_p = jnp.take_along_axis(
+            h_hat, jnp.broadcast_to(idx, h_hat.shape[:-1]
+                                    + idx.shape[-1:]), axis=-1)
+        h_p = h_p * valid_c
+        h_out = jnp.einsum("...mk,...k->...m", a, h_p)
+
+        # Error variances: diag(R) - Re{sum_k A[m,k] R[idx_k, m]}
+        r_pm = jnp.moveaxis(rows, -2, -1)                 # [t,s,N,M,K]
+        err_out = (jnp.real(jnp.diagonal(r))
+                   - jnp.real(jnp.einsum("...mk,...mk->...m", a,
+                                         jnp.broadcast_to(
+                                             r_pm,
+                                             a.shape))))
+        err_out = jnp.maximum(err_out, 0.)
+
+        # Rows without pilots: passthrough
+        row_has_pilot = jnp.sum(valid, axis=-1) > 0        # [t,s,N]
+        sel = row_has_pilot[..., None]
+        h_out = jnp.where(sel, h_out, h_hat)
+        err_out = jnp.where(sel, err_out, err_var_old)
+
+        if not self._last_step:
+            # Scale so the next step sees the expected variance
+            # (reference channel_estimation.py:1103-1153)
+            # var1[m] = sum_kl A[m,k] R[idx_k, idx_l] conj(A[m,l])
+            var1 = jnp.real(jnp.einsum("...mk,...kl,...ml->...m",
+                                       a, rpp, jnp.conj(a)))
+            var2 = jnp.sum(jnp.abs(a) ** 2 * err_p[..., None, :],
+                           axis=-1)
+            h_hat_var = var1 + var2
+            h_var = jnp.real(jnp.diagonal(r))
+            denom = h_hat_var + h_var - err_out
+            s = jnp.where(jnp.abs(denom) > 1e-12,
+                          2. * h_var / denom, 0.)
+            h_out = jnp.where(sel, s.astype(self.cdtype) * h_out,
+                              h_out)
+            err_new = s * (s - 1.) * h_hat_var + (1. - s) * h_var \
+                + s * err_out
+            err_out = jnp.where(sel, jnp.maximum(err_new, 0.),
+                                err_out)
+        return h_out, err_out
+
+
+class SpatialChannelFilter(Object):
+    """LMMSE smoothing across the receive-antenna dimension
+    (reference channel_estimation.py:1157; fresh JAX implementation).
+
+    A = R (R + diag(err_var))^{-1} per resource element, applied along
+    the trailing rx-antenna axis of
+    h_hat [batch, num_rx, num_tx, num_streams, sym, sc, num_rx_ant].
+    """
+
+    def __init__(self, cov_mat, last_step=True):
+        cov_mat = np.asarray(cov_mat)
+        precision = "single" if cov_mat.dtype == np.complex64 \
+            else "double"
+        super().__init__(precision=precision)
+        self._cov_mat = cov_mat.astype(self.np_cdtype)
+        self._last_step = bool(last_step)
+
+    def __call__(self, h_hat, err_var):
+        h_hat = jnp.asarray(h_hat, self.cdtype)
+        err_var = jnp.broadcast_to(
+            jnp.asarray(err_var, self.rdtype), h_hat.shape)
+        r = jnp.asarray(self._cov_mat)                     # [M, M]
+        m = r.shape[0]
+
+        err_c = jnp.maximum(err_var, 1e-12)
+        s_mat = r + jnp.vectorize(
+            jnp.diag, signature="(k)->(k,k)")(
+                err_c.astype(self.cdtype))
+        # A^T = solve(S^T, R^T)  =>  A = R S^{-1}
+        a = jnp.swapaxes(jnp.linalg.solve(
+            jnp.swapaxes(s_mat, -2, -1),
+            jnp.broadcast_to(jnp.swapaxes(r, -2, -1),
+                             s_mat.shape)), -2, -1)
+        h_out = jnp.einsum("...mk,...k->...m", a, h_hat)
+        err_out = jnp.real(jnp.diagonal(r)) \
+            - jnp.real(jnp.einsum("...mk,...km->...m", a,
+                                  jnp.broadcast_to(r, a.shape)))
+        err_out = jnp.maximum(err_out, 0.)
+
+        if not self._last_step:
+            var1 = jnp.real(
+                jnp.einsum("...mk,kl,...ml->...m", a, r, jnp.conj(a)))
+            var2 = jnp.sum(jnp.abs(a) ** 2 * err_c[..., None, :],
+                           axis=-1)
+            h_hat_var = var1 + var2
+            h_var = jnp.real(jnp.diagonal(r))
+            denom = h_hat_var + h_var - err_out
+            s = jnp.where(jnp.abs(denom) > 1e-12,
+                          2. * h_var / denom, 0.)
+            h_out = s.astype(self.cdtype) * h_out
+            err_out = jnp.maximum(
+                s * (s - 1.) * h_hat_var + (1. - s) * h_var
+                + s * err_out, 0.)
+        return h_out, err_out

@@ -230,3 +230,46 @@ def test_ebnodb2no_with_resource_grid():
     rg = make_rg()
     no = float(ebnodb2no(10.0, 4, 0.5, rg))
     assert no > 0
+
+
+def test_lmmse_interpolator_1d():
+    from sionna_tpu.phy.ofdm import LMMSEInterpolator1D
+    M, N = 8, 3
+    rho = 0.95
+    r = (rho ** np.abs(np.subtract.outer(np.arange(M), np.arange(M)))
+         ).astype(np.complex64)
+    mask = np.zeros((1, 1, N, M), int)
+    mask[..., ::3] = 1
+    interp = LMMSEInterpolator1D(mask, r, last_step=True)
+    h_true = np.ones((2, 1, 1, 1, 1, N, M), np.complex64)
+    err0 = np.full(h_true.shape, 1e-4, np.float32)
+    h_in = np.where(mask[None, None, None] == 1, h_true, 0.)
+    h_out, err_out = interp(jnp.asarray(h_in), jnp.asarray(err0))
+    h_out, err_out = np.asarray(h_out), np.asarray(err_out)
+    # pilots recovered exactly; high correlation -> interpolated close
+    np.testing.assert_allclose(np.abs(h_out[..., ::3]), 1., atol=1e-3)
+    assert np.all(np.abs(h_out[..., 1]) > 0.9)
+    # error grows away from pilots
+    assert err_out[0, 0, 0, 0, 0, 0, 1] > err_out[0, 0, 0, 0, 0, 0, 0]
+    # intermediate-step variant runs and rescales
+    interp2 = LMMSEInterpolator1D(mask, r, last_step=False)
+    h2, e2 = interp2(jnp.asarray(h_in), jnp.asarray(err0))
+    assert np.all(np.isfinite(np.asarray(h2).real))
+
+
+def test_spatial_channel_filter():
+    from sionna_tpu.phy.ofdm import SpatialChannelFilter
+    rng = np.random.default_rng(3)
+    # strongly correlated spatial covariance
+    v = rng.normal(size=(4, 1)) + 1j * rng.normal(size=(4, 1))
+    r = (v @ v.conj().T + 0.05 * np.eye(4)).astype(np.complex64)
+    filt = SpatialChannelFilter(r, last_step=True)
+    h_true = (v[:, 0] * (1. + 0j)).astype(np.complex64)
+    noise = 0.3 * (rng.normal(size=(100, 1, 1, 1, 1, 1, 4))
+                   + 1j * rng.normal(size=(100, 1, 1, 1, 1, 1, 4)))
+    h_noisy = h_true + noise.astype(np.complex64)
+    h_out, err = filt(jnp.asarray(h_noisy),
+                      jnp.full(h_noisy.shape, 2 * 0.3 ** 2))
+    mse_in = np.mean(np.abs(h_noisy - h_true) ** 2)
+    mse_out = np.mean(np.abs(np.asarray(h_out) - h_true) ** 2)
+    assert mse_out < 0.5 * mse_in  # smoothing reduces error
