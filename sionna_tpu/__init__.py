@@ -9,6 +9,7 @@ __version__ = "0.1.0"
 
 from . import phy
 from . import sys
+from . import rt
 
 _LAZY_SUBPACKAGES = ("sys", "rt", "parallel", "ops")
 

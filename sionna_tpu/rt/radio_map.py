@@ -1,0 +1,135 @@
+"""Radio map (coverage map) solver (API parity with
+sionna.rt.RadioMapSolver / RadioMap, see SURVEY.md 2.12; fresh
+TPU-first implementation).
+
+The measurement-plane cells are treated as a batch of isotropic
+single-antenna receivers and evaluated with the same image-method
+engine as the path solver — one batched computation over
+[num_sequences, num_tx, num_cells]."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..phy.constants import PI
+from .antenna_array import PlanarArray
+from .scene import Receiver
+from .solver import PathSolver
+
+__all__ = ["RadioMapSolver", "RadioMap"]
+
+
+class RadioMap:
+    """Coverage map over a rectangular measurement grid.
+
+    path_gain / rss / sinr: [num_tx, num_cells_y, num_cells_x]."""
+
+    def __init__(self, path_gain, cell_centers, tx_powers_dbm,
+                 noise_power_w=1e-13):
+        self.path_gain = path_gain
+        self.cell_centers = cell_centers
+        self._tx_powers_dbm = np.asarray(tx_powers_dbm)
+        self._noise_power_w = float(noise_power_w)
+
+    @property
+    def rss(self):
+        """Received signal strength [W] per cell and TX"""
+        p_w = 10. ** ((self._tx_powers_dbm - 30.) / 10.)
+        return self.path_gain * p_w[:, None, None]
+
+    @property
+    def sinr(self):
+        """SINR per cell with the strongest TX as the serving one"""
+        rss = self.rss
+        total = jnp.sum(rss, axis=0, keepdims=True)
+        best = jnp.max(rss, axis=0, keepdims=True)
+        interference = total - best
+        return (best / (interference + self._noise_power_w))[0]
+
+    def show(self, metric="path_gain", tx=0):
+        """Plots a metric in dB over the grid."""
+        import matplotlib.pyplot as plt
+        if metric == "path_gain":
+            val = np.asarray(self.path_gain[tx])
+        elif metric == "rss":
+            val = np.asarray(self.rss[tx])
+        else:
+            val = np.asarray(self.sinr)
+        fig, ax = plt.subplots()
+        db = 10. * np.log10(np.maximum(val, 1e-30))
+        im = ax.imshow(db, origin="lower")
+        fig.colorbar(im, ax=ax, label=f"{metric} [dB]")
+        return fig
+
+
+class RadioMapSolver:
+    """Computes a radio map by evaluating LoS + specular paths from
+    every transmitter to a grid of measurement cells.
+
+    Call: solver(scene, cell_size=(5., 5.), size=None, center=None,
+    orientation=(0,0,0), height=1.5, max_depth=2, ...) -> RadioMap.
+    """
+
+    def __call__(self, scene, cell_size=(5., 5.), size=None,
+                 center=None, height=1.5, max_depth=2,
+                 samples_per_src=20000, los=True,
+                 specular_reflection=True, noise_power_w=1e-13):
+        # Measurement grid on a horizontal plane at ``height``
+        tris = scene.triangles
+        if size is None:
+            if tris.shape[0] > 0:
+                lo = tris.reshape(-1, 3).min(axis=0)
+                hi = tris.reshape(-1, 3).max(axis=0)
+                size = (hi[0] - lo[0], hi[1] - lo[1])
+                if center is None:
+                    center = ((hi[0] + lo[0]) / 2,
+                              (hi[1] + lo[1]) / 2)
+            else:
+                size = (100., 100.)
+        if center is None:
+            center = (0., 0.)
+        nx = max(int(np.ceil(size[0] / cell_size[0])), 1)
+        ny = max(int(np.ceil(size[1] / cell_size[1])), 1)
+        xs = (np.arange(nx) - (nx - 1) / 2) * cell_size[0] + center[0]
+        ys = (np.arange(ny) - (ny - 1) / 2) * cell_size[1] + center[1]
+        xg, yg = np.meshgrid(xs, ys)           # [ny, nx]
+        cells = np.stack(
+            [xg, yg, np.full_like(xg, height)], axis=-1)
+
+        # Evaluate with a throwaway scene configuration: isotropic
+        # single-antenna receivers at every cell
+        saved_rx = dict(scene.receivers)
+        saved_rx_array = scene.rx_array
+        saved_tx_array = scene.tx_array
+        try:
+            scene.receivers.clear()
+            flat = cells.reshape(-1, 3)
+            for i, p in enumerate(flat):
+                scene.add(Receiver(f"__cell_{i}", p))
+            scene.rx_array = PlanarArray(1, 1, pattern="iso",
+                                         polarization="V")
+            if scene.tx_array is None:
+                scene.tx_array = PlanarArray(1, 1, pattern="iso",
+                                             polarization="V")
+            solver = PathSolver()
+            paths = solver(scene, max_depth=max_depth,
+                           samples_per_src=samples_per_src,
+                           los=los,
+                           specular_reflection=specular_reflection)
+        finally:
+            scene.receivers.clear()
+            scene.receivers.update(saved_rx)
+            scene.rx_array = saved_rx_array
+            scene.tx_array = saved_tx_array
+
+        # Path gain per (cell, tx): coherent sum over antenna pairs is
+        # 1x1 here; aggregate incoherently over paths
+        a = paths.a[:, 0, :, 0, :]             # [cells, tx, paths]
+        gain = jnp.sum(jnp.abs(a) ** 2, axis=-1)
+        gain = jnp.transpose(gain)             # [tx, cells]
+        gain = gain.reshape(gain.shape[0], ny, nx)
+
+        tx_powers = np.array(
+            [t.power_dbm for t in scene.transmitters.values()])
+        return RadioMap(gain, cells, tx_powers,
+                        noise_power_w=noise_power_w)

@@ -1,0 +1,258 @@
+"""Ray tracing tests: Friis, reflection/Fresnel physics, occlusion,
+multi-bounce, arrays, Doppler, radio maps, scene IO."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sionna_tpu.rt import (load_scene, Scene, Transmitter, Receiver,
+                           Camera, PlanarArray, PathSolver,
+                           RadioMapSolver, RadioMaterial,
+                           ITU_MATERIALS, antenna_pattern)
+from sionna_tpu.phy.constants import SPEED_OF_LIGHT as C
+
+
+def _iso():
+    return PlanarArray(1, 1, pattern="iso", polarization="V")
+
+
+def _los_scene(freq=3e9, d=100.):
+    sc = load_scene("empty", frequency=freq)
+    sc.tx_array = _iso()
+    sc.rx_array = _iso()
+    sc.add(Transmitter("tx", [0., 0., 0.]))
+    sc.add(Receiver("rx", [d, 0., 0.]))
+    return sc
+
+
+def test_friis_free_space():
+    d, f = 100., 3e9
+    sc = _los_scene(f, d)
+    paths = PathSolver()(sc, max_depth=0)
+    a, tau = paths.cir(out_type="numpy")
+    lam = C / f
+    np.testing.assert_allclose(np.abs(a[0, 0, 0, 0, 0, 0]) ** 2,
+                               (lam / (4 * np.pi * d)) ** 2,
+                               rtol=1e-6)
+    np.testing.assert_allclose(tau[0, 0, 0], d / C, rtol=1e-9)
+    # phase = -2 pi d / lambda
+    expected_phase = np.angle(np.exp(-2j * np.pi * d / lam))
+    np.testing.assert_allclose(np.angle(a[0, 0, 0, 0, 0, 0]),
+                               expected_phase, atol=1e-3)
+
+
+def test_single_metal_reflection():
+    sc = load_scene("simple_reflector", frequency=3e9)
+    sc.tx_array = _iso()
+    sc.rx_array = _iso()
+    sc.add(Transmitter("tx", [-5., 0., 5.]))
+    sc.add(Receiver("rx", [5., 0., 5.]))
+    p = PathSolver()(sc, max_depth=1, samples_per_src=5000)
+    v = np.asarray(p.valid)[0, 0]
+    lens = np.sort(np.asarray(p.tau)[0, 0][v] * C)
+    # LoS at 10 m + image path at sqrt(200); edge-shared triangles
+    # must NOT double-count the specular path
+    np.testing.assert_allclose(lens, [10., np.sqrt(200.)], rtol=1e-6)
+    # metal reflection: |r| ~ 1 -> image-distance Friis
+    lam = C / 3e9
+    a = np.asarray(p.a)[0, 0, 0, 0][v]
+    g_ref = np.abs(a[np.argsort(np.asarray(p.tau)[0, 0][v])[1]]) ** 2
+    np.testing.assert_allclose(
+        g_ref, (lam / (4 * np.pi * np.sqrt(200.))) ** 2, rtol=5e-3)
+
+
+def test_two_ray_matches_analytic():
+    """Ground reflection over medium-dry ground: solver must match
+    the analytic two-ray TM model in amplitude AND phase."""
+    f = 1e9
+    lam = C / f
+    sc = load_scene("simple_reflector", frequency=f)
+    sc.set_material("itu_medium_dry_ground")
+    sc.tx_array = _iso()
+    sc.rx_array = _iso()
+    ht, hr, d = 2., 2., 8.
+    sc.add(Transmitter("tx", [-d / 2, 0., ht]))
+    sc.add(Receiver("rx", [d / 2, 0., hr]))
+    p = PathSolver()(sc, max_depth=1, samples_per_src=5000)
+    a, _ = p.cir(out_type="numpy")
+    v = np.asarray(p.valid)[0, 0]
+    total = np.sum(a[0, 0, 0, 0, v, 0])
+
+    d1 = np.sqrt(d ** 2 + (ht - hr) ** 2)
+    d2 = np.sqrt(d ** 2 + (ht + hr) ** 2)
+    eta = 15. - 1j * 17.98 * 0.035  # ITU medium dry ground @ 1 GHz
+    cos_i = (ht + hr) / d2
+    root = np.sqrt(eta - (1 - cos_i ** 2))
+    r_p = (eta * cos_i - root) / (eta * cos_i + root)
+    ref = (lam / (4 * np.pi * d1) * np.exp(-2j * np.pi * d1 / lam)
+           + lam / (4 * np.pi * d2) * np.exp(-2j * np.pi * d2 / lam)
+           * r_p)
+    np.testing.assert_allclose(total, ref, rtol=1e-5)
+
+
+def test_occlusion_blocks_los():
+    sc = load_scene("simple_wedge", frequency=3e9)  # wall at x=0
+    sc.tx_array = _iso()
+    sc.rx_array = _iso()
+    sc.add(Transmitter("tx", [-5., 0., 5.]))
+    sc.add(Receiver("rx", [5., 0., 5.]))
+    p = PathSolver()(sc, max_depth=1, samples_per_src=5000)
+    v = np.asarray(p.valid)[0, 0]
+    lens = np.asarray(p.tau)[0, 0][v] * C
+    assert not np.any(np.isclose(lens, 10., atol=1e-3))
+
+
+def test_double_bounce_parallel_plates():
+    sc = load_scene("double_reflector", frequency=3e9)
+    sc.tx_array = _iso()
+    sc.rx_array = _iso()
+    sc.add(Transmitter("tx", [-10., 0., 10.]))
+    sc.add(Receiver("rx", [10., 0., 10.]))
+    p = PathSolver()(sc, max_depth=2, samples_per_src=30000)
+    v = np.asarray(p.valid)[0, 0]
+    lens = np.sort(np.asarray(p.tau)[0, 0][v] * C)
+    expected = [20., np.sqrt(800.), np.sqrt(800.),
+                np.sqrt(2000.), np.sqrt(2000.)]
+    np.testing.assert_allclose(lens, expected, rtol=1e-6)
+
+
+def test_fresnel_energy_conservation():
+    """Reflection coefficients never exceed unit magnitude."""
+    for name, mat in ITU_MATERIALS.items():
+        eta = mat.complex_relative_permittivity(3.5e9)
+        for cos_i in np.linspace(0.01, 1., 20):
+            root = np.sqrt(eta - (1 - cos_i ** 2))
+            r_s = (cos_i - root) / (cos_i + root)
+            r_p = (eta * cos_i - root) / (eta * cos_i + root)
+            assert np.abs(r_s) <= 1. + 1e-9, name
+            assert np.abs(r_p) <= 1. + 1e-9, name
+
+
+def test_array_phase_response():
+    sc = load_scene("empty", frequency=3e9)
+    sc.tx_array = _iso()
+    sc.rx_array = PlanarArray(1, 4, pattern="iso", polarization="V")
+    sc.add(Transmitter("tx", [100., 0., 0.]))
+    sc.add(Receiver("rx", [0., 0., 0.]))
+    p = PathSolver()(sc, max_depth=0)
+    ph = np.angle(np.asarray(p.a)[0, :, 0, 0, 0])
+    # broadside: identical phases
+    np.testing.assert_allclose(ph, ph[0], atol=1e-6)
+    # endfire (tx along the array axis): lambda/2 spacing -> pi steps
+    sc.remove("tx")
+    sc.add(Transmitter("tx", [0., 100., 0.]))
+    p2 = PathSolver()(sc, max_depth=0)
+    a2 = np.asarray(p2.a)[0, :, 0, 0, 0]
+    dph = np.abs(np.diff(np.unwrap(np.angle(a2))))
+    np.testing.assert_allclose(dph, np.pi, atol=1e-2)
+
+
+def test_dual_polarization_ports():
+    arr = PlanarArray(2, 2, pattern="iso", polarization="VH")
+    assert arr.num_ant == 8
+    sc = _los_scene()
+    sc.rx_array = PlanarArray(1, 1, pattern="iso",
+                              polarization="cross")
+    p = PathSolver()(sc, max_depth=0)
+    assert p.a.shape[1] == 2  # two polarization ports
+
+
+def test_doppler_and_cir():
+    sc = load_scene("empty", frequency=3e9)
+    sc.tx_array = _iso()
+    sc.rx_array = _iso()
+    sc.add(Transmitter("tx", [100., 0., 0.]))
+    sc.add(Receiver("rx", [0., 0., 0.], velocity=[30., 0., 0.]))
+    p = PathSolver()(sc, max_depth=0)
+    fd = float(np.asarray(p.doppler)[0, 0, 0])
+    np.testing.assert_allclose(fd, 30. * 3e9 / C, rtol=1e-9)
+    a, tau = p.cir(sampling_frequency=1e3, num_time_steps=8)
+    assert a.shape == (1, 1, 1, 1, 1, 8)
+    # phase rotates at the Doppler rate
+    ph = np.unwrap(np.angle(np.asarray(a)[0, 0, 0, 0, 0]))
+    np.testing.assert_allclose(np.diff(ph),
+                               2 * np.pi * fd / 1e3, rtol=1e-4)
+
+
+def test_paths_to_ofdm_channel_bridge():
+    from sionna_tpu.phy.channel import (cir_to_ofdm_channel,
+                                        subcarrier_frequencies)
+    sc = load_scene("box", frequency=3.5e9)
+    sc.tx_array = _iso()
+    sc.rx_array = _iso()
+    sc.add(Transmitter("tx", [-3., 0., 1.5]))
+    sc.add(Receiver("rx", [3., 0., 1.5]))
+    p = PathSolver()(sc, max_depth=2, samples_per_src=20000)
+    a, tau = p.cir(sampling_frequency=1e3, num_time_steps=2)
+    assert np.asarray(p.valid).sum() > 3  # LoS + wall bounces
+    freqs = subcarrier_frequencies(32, 30e3)
+    h = cir_to_ofdm_channel(freqs, a[None], jnp.asarray(tau)[None])
+    assert h.shape == (1, 1, 1, 1, 1, 2, 32)
+    assert np.all(np.isfinite(np.asarray(h).real))
+
+
+def test_radio_map():
+    sc = load_scene("simple_street_canyon", frequency=3.5e9)
+    sc.tx_array = _iso()
+    sc.add(Transmitter("tx", [0., 0., 10.], power_dbm=30.))
+    rm = RadioMapSolver()(sc, cell_size=(10., 10.), size=(100., 16.),
+                          center=(0., 0.), height=1.5, max_depth=1,
+                          samples_per_src=5000)
+    pg = np.asarray(rm.path_gain)[0]
+    assert pg.shape == (2, 10)
+    row = 10. * np.log10(np.maximum(pg[1], 1e-30))
+    # decays from the center towards the street ends, symmetric-ish
+    assert row[4] > row[0] and row[5] > row[9]
+    np.testing.assert_allclose(row, row[::-1], atol=1.0)
+    rss = np.asarray(rm.rss)[0]
+    np.testing.assert_allclose(rss, pg * 1.0, rtol=1e-6)  # 30 dBm=1 W
+    assert np.asarray(rm.sinr).shape == (2, 10)
+
+
+def test_materials_itu_model():
+    glass = ITU_MATERIALS["itu_glass"]
+    assert glass.relative_permittivity(3.5e9) == pytest.approx(6.31)
+    sigma = glass.conductivity(10e9)
+    assert sigma == pytest.approx(0.0036 * 10 ** 1.3394, rel=1e-6)
+    custom = RadioMaterial("my_mat", relative_permittivity=4.,
+                           conductivity=0.1)
+    eta = custom.complex_relative_permittivity(1e9)
+    assert eta.real == pytest.approx(4.)
+    with pytest.raises(ValueError):
+        RadioMaterial("unknown_material")
+
+
+def test_scene_management_and_obj_io(tmp_path):
+    sc = load_scene("box")
+    assert sc.num_triangles == 12
+    cam = Camera("cam", [0., 0., 2.])
+    sc.add(cam)
+    assert sc.get("cam") is cam
+    sc.add(Transmitter("t1", [0., 0., 1.]))
+    sc.remove("t1")
+    with pytest.raises(KeyError):
+        sc.get("t1")
+    # OBJ round trip
+    obj = tmp_path / "tri.obj"
+    obj.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+                   "usemtl itu_metal\nf 1 2 3\n")
+    sc2 = load_scene(str(obj))
+    assert sc2.num_triangles == 1
+    assert sc2.triangle_materials[0].name == "itu_metal"
+    with pytest.raises(ValueError):
+        load_scene("no_such_scene_or_file")
+
+
+def test_antenna_patterns():
+    th = jnp.asarray([np.pi / 2])
+    for pat, peak in (("iso", 1.0), ("dipole", 1.5),
+                      ("hw_dipole", 1.643)):
+        et, ep = antenna_pattern(pat, th, jnp.asarray([0.]))
+        assert float(et[0] ** 2 + ep[0] ** 2) == pytest.approx(
+            peak, rel=1e-3)
+    et, _ = antenna_pattern("tr38901", th, jnp.asarray([0.]))
+    assert float(et[0] ** 2) == pytest.approx(10 ** 0.8, rel=1e-3)
