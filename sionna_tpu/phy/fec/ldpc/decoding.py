@@ -202,8 +202,22 @@ class LDPCBPDecoder(Block):
     def __init__(self, pcm, cn_update="boxplus-phi", vn_update="sum",
                  cn_schedule="flooding", hard_out=True, num_iter=20,
                  llr_max=20., v2c_callbacks=None, c2v_callbacks=None,
-                 return_state=False, precision=None, **kwargs):
+                 return_state=False, internal_precision=None,
+                 engine="segment", precision=None, **kwargs):
         super().__init__(precision=precision, **kwargs)
+        # Optional reduced-precision message storage: "bf16" halves
+        # HBM traffic of the (bandwidth-bound) BP iteration on TPU;
+        # min-sum decoding is robust to message quantization
+        if internal_precision not in (None, "bf16"):
+            raise ValueError(
+                "internal_precision must be None or 'bf16'")
+        self._internal_precision = internal_precision
+        # Update engine: "segment" (sorted segment reductions; fastest
+        # measured inside fused Monte-Carlo loops on TPU v5e) or
+        # "matmul" (one-hot incidence matmuls on the MXU)
+        if engine not in ("segment", "matmul"):
+            raise ValueError("engine must be 'segment' or 'matmul'")
+        self._engine = engine
         if isinstance(pcm, np.ndarray):
             pcm = sp_sparse.csr_matrix(pcm)
         elif not sp_sparse.issparse(pcm):
@@ -249,6 +263,127 @@ class LDPCBPDecoder(Block):
 
         self._v2c_callbacks = list(v2c_callbacks or [])
         self._c2v_callbacks = list(c2v_callbacks or [])
+
+        # Dense node-grouped layout for the TPU fast path: per-node
+        # edge-index tables let every BP update run as static gathers
+        # plus masked row reductions (VPU-friendly) instead of
+        # segment scatters.
+        self._cn_update_name = cn_update if isinstance(cn_update, str) \
+            else None
+        self._build_grouped_layout()
+
+    def _build_grouped_layout(self):
+        """Builds [num_cns, max_cn_deg] and [num_vns, max_vn_deg]
+        edge-index tables with validity masks, plus the edge -> (cn
+        slot) map used to read per-edge extrinsics back out of the
+        dense CN layout."""
+        cn_deg = np.bincount(self._cn_idx, minlength=self._num_cns)
+        vn_deg = np.bincount(self._vn_idx, minlength=self._num_vns)
+        dc = int(cn_deg.max()) if len(cn_deg) else 1
+        dv = int(vn_deg.max()) if len(vn_deg) else 1
+
+        cn_gather = np.zeros((self._num_cns, dc), np.int32)
+        cn_mask = np.zeros((self._num_cns, dc), bool)
+        edge_slot = np.zeros(self._num_edges, np.int32)
+        pos = np.zeros(self._num_cns, np.int32)
+        for e, c in enumerate(self._cn_idx):
+            p = pos[c]
+            cn_gather[c, p] = e
+            cn_mask[c, p] = True
+            edge_slot[e] = c * dc + p
+            pos[c] = p + 1
+
+        vn_gather = np.zeros((self._num_vns, dv), np.int32)
+        vn_mask = np.zeros((self._num_vns, dv), bool)
+        pos = np.zeros(self._num_vns, np.int32)
+        for e, v in enumerate(self._vn_idx):
+            p = pos[v]
+            vn_gather[v, p] = e
+            vn_mask[v, p] = True
+            pos[v] = p + 1
+
+        self._cn_gather = cn_gather
+        self._cn_mask = cn_mask
+        self._edge_slot = edge_slot
+        self._vn_gather = vn_gather
+        self._vn_mask = vn_mask
+
+        # One-hot incidence matrices for the matmul engine; dense
+        # [E, C] / [E, V] f32 -- MXU-friendly and exact for the sum/
+        # broadcast operations (counts bounded by node degree)
+        self._use_matmul_engine = (
+            self._engine == "matmul"
+            and self._num_edges * max(self._num_cns, self._num_vns)
+            <= 64_000_000)
+        if self._use_matmul_engine:
+            m_inc = np.zeros((self._num_edges, self._num_cns),
+                             np.float32)
+            m_inc[np.arange(self._num_edges), self._cn_idx] = 1.
+            n_inc = np.zeros((self._num_edges, self._num_vns),
+                             np.float32)
+            n_inc[np.arange(self._num_edges), self._vn_idx] = 1.
+            self._m_inc = m_inc
+            self._n_inc = n_inc
+
+    # ------------------------------------------------------------------
+    # Incidence-matmul update engine (TPU fast path)
+    # ------------------------------------------------------------------
+    def _cn_update_matmul(self, v2c):
+        """Check-node update on [B, E] messages with all graph sums
+        and per-edge gathers expressed as one-hot incidence matmuls
+        (MXU work); only the extrinsic min/2nd-min remain segment
+        reductions."""
+        name = self._cn_update_name
+        m_inc = jnp.asarray(self._m_inc, v2c.dtype)      # [E, C]
+        cn_idx = jnp.asarray(self._cn_idx)
+        clip = self._llr_max
+        big = jnp.asarray(jnp.finfo(v2c.dtype).max, v2c.dtype)
+
+        # Extrinsic sign via parity of negative-message counts:
+        # counts and the per-edge broadcast are both matmuls
+        neg = (v2c < 0).astype(v2c.dtype)
+        total_neg = neg @ m_inc                           # [B, C]
+        ext_neg = total_neg @ m_inc.T - neg               # [B, E]
+        sign = 1. - 2. * (ext_neg % 2)
+
+        if name in ("minsum", "offset-minsum"):
+            mag = jnp.abs(v2c)
+            min1 = jax.vmap(lambda r: _segment_min(
+                r, cn_idx, self._num_cns, True))(mag)     # [B, C]
+            m1_e = min1 @ m_inc.T                         # broadcast
+            is_min = (mag <= m1_e).astype(v2c.dtype)
+            cnt = is_min @ m_inc                          # [B, C]
+            cnt_e = cnt @ m_inc.T
+            masked = jnp.where(mag <= m1_e, big, mag)
+            min2 = jax.vmap(lambda r: _segment_min(
+                r, cn_idx, self._num_cns, True))(masked)
+            m2_e = min2 @ m_inc.T
+            unique_min = (mag <= m1_e) & (cnt_e < 1.5)
+            ext = jnp.where(unique_min, m2_e, m1_e)
+            if name == "offset-minsum":
+                ext = jnp.maximum(ext - 0.5, 0.)
+        elif name == "boxplus":
+            mag = jnp.minimum(jnp.maximum(jnp.abs(v2c), 1e-12), clip)
+            lt = jnp.log(jnp.tanh(mag / 2.))
+            total = lt @ m_inc
+            ext_lt = total @ m_inc.T - lt
+            ext = 2. * jnp.arctanh(
+                jnp.clip(jnp.exp(ext_lt), 0., 1. - 1e-7))
+        else:  # boxplus-phi
+            mag = jnp.clip(jnp.abs(v2c), 8.5e-8, 16.635532)
+            phi = -jnp.log(jnp.tanh(mag / 2.))
+            total = phi @ m_inc
+            ext_phi = jnp.maximum(total @ m_inc.T - phi, 8.5e-8)
+            ext = -jnp.log(jnp.tanh(ext_phi / 2.))
+
+        return jnp.clip(sign * ext, -clip, clip)
+
+    def _vn_update_matmul(self, c2v, llr_int):
+        """Variable-node update as two incidence matmuls."""
+        n_inc = jnp.asarray(self._n_inc, c2v.dtype)      # [E, V]
+        marg = llr_int + c2v @ n_inc
+        v2c = marg @ n_inc.T - c2v
+        return jnp.clip(v2c, -self._llr_max, self._llr_max), marg
 
     # ------------------------------------------------------------------
     @property
@@ -321,20 +456,50 @@ class LDPCBPDecoder(Block):
         vn_update = self._vn_update_fn
         v2c_cbs = self._v2c_callbacks
         c2v_cbs = self._c2v_callbacks
+        # The dense grouped engine (edge-major layout, leading-axis
+        # gathers) covers the built-in updates; custom callables and
+        # message callbacks fall back to the edge/segment formulation
+        use_matmul = (self._cn_update_name in _CN_UPDATES
+                      and self._vn_update_fn is vn_update_sum
+                      and not v2c_cbs and not c2v_cbs
+                      and self._use_matmul_engine)
 
-        def body(it, state):
-            v2c, _ = state
-            for cb in v2c_cbs:
-                v2c = cb(v2c, it)
-            c2v = cn_update(v2c, cn_idx, num_cns, llr_clipping=clip)
-            for cb in c2v_cbs:
-                c2v = cb(c2v, it)
-            v2c_new, marg = vn_update(c2v, llr_int, vn_idx, num_vns,
-                                      llr_clipping=clip)
-            return v2c_new, marg
+        if use_matmul:
+            mdtype = jnp.bfloat16 \
+                if self._internal_precision == "bf16" else self.rdtype
+            llr_m = llr_int.astype(mdtype)
 
-        init_marg = llr_int
-        v2c, marg = jax.lax.fori_loop(0, num_iter, body, (v2c0, init_marg))
+            def body_m(it, state):
+                v2c, _ = state
+                c2v = self._cn_update_matmul(v2c)
+                return self._vn_update_matmul(c2v, llr_m)
+
+            v2c, marg = jax.lax.fori_loop(
+                0, num_iter, body_m,
+                (v2c0.astype(mdtype), llr_m))
+            v2c = v2c.astype(self.rdtype)
+            marg = marg.astype(self.rdtype)
+        else:
+            mdtype = jnp.bfloat16 \
+                if self._internal_precision == "bf16" else self.rdtype
+            llr_m = llr_int.astype(mdtype)
+
+            def body(it, state):
+                v2c, _ = state
+                for cb in v2c_cbs:
+                    v2c = cb(v2c, it)
+                c2v = cn_update(v2c, cn_idx, num_cns,
+                                llr_clipping=clip)
+                for cb in c2v_cbs:
+                    c2v = cb(c2v, it)
+                v2c_new, marg = vn_update(c2v, llr_m, vn_idx,
+                                          num_vns, llr_clipping=clip)
+                return v2c_new, marg
+
+            v2c, marg = jax.lax.fori_loop(
+                0, num_iter, body, (v2c0.astype(mdtype), llr_m))
+            v2c = v2c.astype(self.rdtype)
+            marg = marg.astype(self.rdtype)
 
         # convert back to logit convention
         llr_out = -marg
@@ -356,7 +521,8 @@ class LDPC5GDecoder(LDPCBPDecoder):
                  cn_schedule="flooding", hard_out=True,
                  return_infobits=True, num_iter=20, llr_max=20.,
                  v2c_callbacks=None, c2v_callbacks=None, prune_pcm=True,
-                 return_state=False, precision=None, **kwargs):
+                 return_state=False, internal_precision=None,
+                 engine="segment", precision=None, **kwargs):
         if not isinstance(encoder, LDPC5GEncoder):
             raise TypeError("encoder must be of class LDPC5GEncoder.")
         self._encoder = encoder
@@ -390,8 +556,9 @@ class LDPC5GDecoder(LDPCBPDecoder):
                          num_iter=num_iter, llr_max=llr_max,
                          v2c_callbacks=v2c_callbacks,
                          c2v_callbacks=c2v_callbacks,
-                         return_state=return_state, precision=precision,
-                         **kwargs)
+                         return_state=return_state,
+                         internal_precision=internal_precision,
+                         engine=engine, precision=precision, **kwargs)
 
     @property
     def encoder(self):

@@ -250,3 +250,26 @@ def test_ldpc_jit_grad():
                       jnp.float32)
     g = jax.grad(loss)(llr)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_ldpc_decoder_engines_agree():
+    """Matmul and segment engines, f32 and bf16 messages, must give
+    identical hard decisions at a moderate SNR."""
+    from sionna_tpu.phy.fec.ldpc import LDPC5GEncoder, LDPC5GDecoder
+    enc = LDPC5GEncoder(512, 1024, num_bits_per_symbol=2)
+    rng = np.random.default_rng(7)
+    b = rng.integers(0, 2, (4, 512)).astype(np.float64)
+    c = np.asarray(enc(jnp.asarray(b)))
+    llr = jnp.asarray((2 * c - 1) * 2. + rng.normal(0, 1., c.shape))
+    outs = []
+    for eng in ("segment", "matmul"):
+        for prec in (None, "bf16"):
+            d = LDPC5GDecoder(enc, num_iter=20, cn_update="minsum",
+                              engine=eng, internal_precision=prec)
+            outs.append(np.asarray(d(llr)))
+    for o in outs[1:]:
+        np.testing.assert_array_equal(o, outs[0])
+    np.testing.assert_array_equal(outs[0], b)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        LDPC5GDecoder(enc, engine="cuda")
