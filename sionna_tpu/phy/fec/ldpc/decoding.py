@@ -256,10 +256,21 @@ class LDPCBPDecoder(Block):
 
         if isinstance(cn_schedule, str) and cn_schedule == "flooding":
             self._scheduling = "flooding"
+            self._layers = None
+        elif isinstance(cn_schedule, str) and cn_schedule == "layered":
+            # every CN its own layer is wasteful; row-wise layers
+            self._scheduling = "layered"
+            self._layers = [np.array([c]) for c in range(pcm.shape[0])]
+        elif isinstance(cn_schedule, (list, tuple, np.ndarray)):
+            self._scheduling = "layered"
+            self._layers = [np.asarray(l).reshape(-1)
+                            for l in cn_schedule]
         else:
-            raise NotImplementedError(
-                "Only flooding schedule is currently supported; the "
-                "5G-layered schedule lands with the lifted fast path.")
+            raise ValueError(
+                "cn_schedule must be 'flooding', 'layered', or a "
+                "list of CN-index arrays")
+        if self._layers is not None:
+            self._build_layered_layout()
 
         self._v2c_callbacks = list(v2c_callbacks or [])
         self._c2v_callbacks = list(c2v_callbacks or [])
@@ -324,6 +335,81 @@ class LDPCBPDecoder(Block):
             n_inc[np.arange(self._num_edges), self._vn_idx] = 1.
             self._m_inc = m_inc
             self._n_inc = n_inc
+
+    def _build_layered_layout(self):
+        """Static padded per-layer edge tables for the layered
+        (serial-C) schedule.
+
+        For each layer: the edge ids belonging to its CNs (padded to
+        the max layer size with a dummy edge E) and the layer-local CN
+        index of each edge (padded to a dummy CN)."""
+        cn_to_edges = {}
+        for e, c in enumerate(self._cn_idx):
+            cn_to_edges.setdefault(int(c), []).append(e)
+        num_layers = len(self._layers)
+        max_cns = max(len(l) for l in self._layers)
+        max_edges = max(sum(len(cn_to_edges.get(int(c), []))
+                            for c in l) for l in self._layers)
+        edge_ids = np.full((num_layers, max_edges), self._num_edges,
+                           np.int32)          # dummy edge = E
+        cn_local = np.full((num_layers, max_edges), max_cns, np.int32)
+        vn_of_edge = np.full((num_layers, max_edges), self._num_vns,
+                             np.int32)        # dummy vn = V
+        for li, layer in enumerate(self._layers):
+            p = 0
+            for local_c, c in enumerate(layer):
+                for e in cn_to_edges.get(int(c), []):
+                    edge_ids[li, p] = e
+                    cn_local[li, p] = local_c
+                    vn_of_edge[li, p] = self._vn_idx[e]
+                    p += 1
+        self._layer_edge_ids = edge_ids
+        self._layer_cn_local = cn_local
+        self._layer_vn = vn_of_edge
+        self._layer_num_cns = max_cns + 1     # + dummy
+
+    def _decode_layered(self, llr_int, v2c_unused, num_iter):
+        """Layered (serial-C) decoding: marginals update after each
+        layer, roughly doubling convergence speed per iteration
+        (reference decoding.py:1169 cn_schedule='layered').
+
+        State: marginals [B, V+1] and c2v messages [B, E+1] (one
+        dummy column each for padding)."""
+        batch = llr_int.shape[0]
+        cn_update = self._cn_update
+        clip = self._llr_max
+        layer_edges = jnp.asarray(self._layer_edge_ids)
+        layer_cn = jnp.asarray(self._layer_cn_local)
+        layer_vn = jnp.asarray(self._layer_vn)
+        nc_layer = self._layer_num_cns
+
+        marg0 = jnp.concatenate(
+            [llr_int, jnp.zeros((batch, 1), llr_int.dtype)], axis=1)
+        c2v0 = jnp.zeros((batch, self._num_edges + 1), llr_int.dtype)
+
+        def layer_step(carry, layer):
+            marg, c2v = carry
+            eids, cn_loc, vns = layer
+            c2v_old = c2v[:, eids]
+            v2c = marg[:, vns] - c2v_old
+            c2v_new = cn_update(v2c, cn_loc, nc_layer,
+                                llr_clipping=clip)
+            delta = c2v_new - c2v_old
+            # scatter-add the message change into the marginals
+            marg = marg.at[:, vns].add(delta,
+                                       indices_are_sorted=False,
+                                       unique_indices=False)
+            c2v = c2v.at[:, eids].set(c2v_new)
+            return (marg, c2v), None
+
+        def body(it, state):
+            (marg, c2v), _ = jax.lax.scan(
+                layer_step, state,
+                (layer_edges, layer_cn, layer_vn))
+            return marg, c2v
+
+        marg, c2v = jax.lax.fori_loop(0, num_iter, body, (marg0, c2v0))
+        return marg[:, :self._num_vns]
 
     # ------------------------------------------------------------------
     # Incidence-matmul update engine (TPU fast path)
@@ -452,6 +538,18 @@ class LDPCBPDecoder(Block):
         else:
             v2c0 = -jnp.reshape(msg_v2c, (batch, self._num_edges))
 
+        if self._scheduling == "layered":
+            marg = self._decode_layered(llr_int, v2c0, num_iter)
+            llr_out = -marg
+            if self._hard_out:
+                out = (llr_out > 0).astype(self.rdtype)
+            else:
+                out = llr_out
+            out = jnp.reshape(out, in_shape)
+            if self._return_state:
+                return out, jnp.zeros_like(v2c0)
+            return out
+
         cn_update = self._cn_update
         vn_update = self._vn_update_fn
         v2c_cbs = self._v2c_callbacks
@@ -550,6 +648,13 @@ class LDPC5GDecoder(LDPCBPDecoder):
         else:
             self._nb_pruned_nodes = 0
             self._n_pruned = encoder.n_ldpc
+
+        if isinstance(cn_schedule, str) and cn_schedule == "layered":
+            # one layer per lifted base row (Z check nodes each)
+            z = encoder.z
+            num_cns = pcm.shape[0]
+            cn_schedule = [np.arange(i, min(i + z, num_cns))
+                           for i in range(0, num_cns, z)]
 
         super().__init__(pcm, cn_update=cn_update, vn_update=vn_update,
                          cn_schedule=cn_schedule, hard_out=hard_out,

@@ -273,3 +273,43 @@ def test_ldpc_decoder_engines_agree():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         LDPC5GDecoder(enc, engine="cuda")
+
+
+def test_ldpc_layered_schedule():
+    """Layered (serial-C) scheduling converges ~2x faster per
+    iteration than flooding."""
+    from sionna_tpu.phy.fec.ldpc import LDPC5GEncoder, LDPC5GDecoder
+    from sionna_tpu.phy import BinarySource, Mapper, Demapper, AWGN
+    from sionna_tpu.phy.utils import ebnodb2no
+    enc = LDPC5GEncoder(512, 1024, num_bits_per_symbol=2)
+    src, mapper = BinarySource(), Mapper("qam", 2)
+    dem, awgn = Demapper("app", "qam", 2), AWGN()
+    no = float(ebnodb2no(2.5, 2, 0.5))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    b = src([500, 512], key=k1)
+    y = awgn(mapper(enc(b)), no, key=k2)
+    llr = dem(y, no)
+
+    def ber(d):
+        return float(jnp.mean(jnp.abs(d(llr) - b)))
+
+    flood5 = ber(LDPC5GDecoder(enc, num_iter=5,
+                               cn_update="boxplus-phi"))
+    layer5 = ber(LDPC5GDecoder(enc, num_iter=5,
+                               cn_update="boxplus-phi",
+                               cn_schedule="layered"))
+    layer10 = ber(LDPC5GDecoder(enc, num_iter=10,
+                                cn_update="boxplus-phi",
+                                cn_schedule="layered"))
+    assert layer5 < flood5 / 5     # much faster convergence
+    assert layer10 <= 1e-4
+    # custom layer partition also accepted
+    import numpy as _np
+    z = enc.z
+    pcm_rows = LDPC5GDecoder(enc).num_cns
+    layers = [_np.arange(i, min(i + z, pcm_rows))
+              for i in range(0, pcm_rows, z)]
+    d_custom = LDPC5GDecoder(enc, num_iter=5,
+                             cn_update="boxplus-phi",
+                             cn_schedule=layers)
+    assert ber(d_custom) == layer5
