@@ -20,6 +20,7 @@ differences, deliberate:
 """
 
 import inspect
+import os
 import time
 
 import numpy as np
@@ -155,12 +156,18 @@ def sim_ber(mc_fun, ebno_dbs, batch_size, max_mc_iter,
             verbose=True,
             forward_keyboard_interrupt=True,
             callback=None,
+            checkpoint_path=None,
             precision=None):
     """Simulates until target errors or ``max_mc_iter`` per SNR point.
 
     Returns ``(ber, bler)`` arrays of the same length as ``ebno_dbs``.
     Points skipped due to early stopping are set to ``nan`` (BER) /
     ``nan`` (BLER), and interrupted points to ``-1`` like the reference.
+
+    ``checkpoint_path``: optional ``.npz`` path; error counters are
+    persisted after every chunk so an interrupted sweep resumes where
+    it stopped (completed points are skipped, partial points continue
+    from their recorded iteration count).
     """
     # pylint: disable=unused-argument
     rdtype = (np.float64 if precision in (None, "double", "single")
@@ -191,6 +198,40 @@ def sim_ber(mc_fun, ebno_dbs, batch_size, max_mc_iter,
     nb_blocks = np.zeros(num_points, np.int64)
     runtimes = np.zeros(num_points, np.float64)
     status = [""] * num_points
+    iters_state = np.zeros(num_points, np.int64)
+
+    if checkpoint_path is not None and os.path.isfile(checkpoint_path):
+        try:
+            ckpt = np.load(checkpoint_path, allow_pickle=True)
+            ckpt["ebno_dbs"]
+        except Exception:
+            ckpt = None
+            if verbose:
+                print(f"Checkpoint {checkpoint_path} is unreadable; "
+                      "starting fresh")
+        if ckpt is not None and (len(ckpt["ebno_dbs"]) == num_points
+                and np.allclose(ckpt["ebno_dbs"], ebno_dbs)):
+            bit_errors = ckpt["bit_errors"].astype(np.int64)
+            block_errors = ckpt["block_errors"].astype(np.int64)
+            nb_bits = ckpt["nb_bits"].astype(np.int64)
+            nb_blocks = ckpt["nb_blocks"].astype(np.int64)
+            iters_state = ckpt["iters"].astype(np.int64)
+            status = list(ckpt["status"])
+            if verbose:
+                print(f"Resuming sweep from {checkpoint_path}")
+        elif ckpt is not None and verbose:
+            print(f"Checkpoint {checkpoint_path} does not match this "
+                  "sweep; starting fresh")
+
+    def _save_checkpoint():
+        if checkpoint_path is None:
+            return
+        tmp = checkpoint_path + ".tmp.npz"
+        np.savez(tmp, ebno_dbs=ebno_dbs, bit_errors=bit_errors,
+                 block_errors=block_errors, nb_bits=nb_bits,
+                 nb_blocks=nb_blocks, iters=iters_state,
+                 status=np.asarray(status, object))
+        os.replace(tmp, checkpoint_path)
 
     if verbose:
         print(f"EbNo [dB] |       BER |      BLER |  bit errors |"
@@ -204,11 +245,14 @@ def sim_ber(mc_fun, ebno_dbs, batch_size, max_mc_iter,
 
     try:
         for i in range(num_points):
+            if status[i] not in ("", "interrupted"):
+                continue  # already completed (resumed sweep)
             if stop_sweep:
                 status[i] = "not simulated"
                 continue
             t0 = time.perf_counter()
-            iters_done = 0
+            iters_done = int(iters_state[i])
+            status[i] = ""
             point_done = False
             while iters_done < max_mc_iter and not point_done:
                 n = min(device_iters, max_mc_iter - iters_done)
@@ -221,6 +265,8 @@ def sim_ber(mc_fun, ebno_dbs, batch_size, max_mc_iter,
                 nb_bits[i] += int(nb)
                 nb_blocks[i] += int(nblk)
                 iters_done += n
+                iters_state[i] = iters_done
+                _save_checkpoint()
 
                 if (num_target_bit_errors is not None
                         and bit_errors[i] >= num_target_bit_errors):
@@ -239,6 +285,7 @@ def sim_ber(mc_fun, ebno_dbs, batch_size, max_mc_iter,
             if not status[i]:
                 status[i] = "reached max iter"
             runtimes[i] = time.perf_counter() - t0
+            _save_checkpoint()
 
             ber_i = bit_errors[i] / max(nb_bits[i], 1)
             bler_i = block_errors[i] / max(nb_blocks[i], 1)
@@ -260,6 +307,10 @@ def sim_ber(mc_fun, ebno_dbs, batch_size, max_mc_iter,
                 stop_sweep = True
     except KeyboardInterrupt as e:
         interrupted = True
+        for j in range(num_points):
+            if status[j] == "":
+                status[j] = "interrupted"
+        _save_checkpoint()
         if forward_keyboard_interrupt:
             raise e
 

@@ -126,3 +126,43 @@ def test_jit_vmap_grad_compose():
 
     g = jax.grad(loss)(0.5)
     assert np.isfinite(float(g))
+
+
+def test_sim_ber_checkpoint_resume(tmp_path):
+    """Sweeps persist counters and resume partial points."""
+    import os
+    from sionna_tpu.phy.utils import sim_ber, ebnodb2no
+    from sionna_tpu.phy import BinarySource, Mapper, Demapper, AWGN
+
+    src, mp = BinarySource(), Mapper("qam", 2)
+    dm, ch = Demapper("app", "qam", 2), AWGN()
+
+    def run(batch_size, ebno_db, key=None):
+        k1, k2 = jax.random.split(key)
+        b = src([batch_size, 100], key=k1)
+        no = ebnodb2no(ebno_db, 2, 1.)
+        llr = dm(ch(mp(b), no, key=k2), no)
+        return b, (llr > 0).astype(b.dtype)
+
+    ck = str(tmp_path / "sweep.npz")
+    ber1, _ = sim_ber(run, [0., 3.], 100, max_mc_iter=4,
+                      early_stop=False, verbose=False,
+                      checkpoint_path=ck)
+    assert os.path.isfile(ck)
+    st = np.load(ck, allow_pickle=True)
+    assert list(st["status"]) == ["reached max iter"] * 2
+    # mark point 1 half-done and resume
+    status = st["status"].copy()
+    status[1] = ""
+    iters = st["iters"].copy()
+    iters[1] = 2
+    np.savez(ck, ebno_dbs=st["ebno_dbs"],
+             bit_errors=st["bit_errors"],
+             block_errors=st["block_errors"], nb_bits=st["nb_bits"],
+             nb_blocks=st["nb_blocks"], iters=iters, status=status)
+    ber2, _ = sim_ber(run, [0., 3.], 100, max_mc_iter=4,
+                      early_stop=False, verbose=False,
+                      checkpoint_path=ck)
+    st2 = np.load(ck, allow_pickle=True)
+    assert list(st2["iters"]) == [4, 4]
+    assert np.isfinite(np.asarray(ber2)).all()
