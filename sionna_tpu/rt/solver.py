@@ -56,6 +56,77 @@ def moller_trumbore(orig, dirs, tri):
     return t, hit
 
 
+def nearest_hit(orig, dirs, tri, max_elems=16_000_000):
+    """Nearest intersection per ray, chunking over triangles so the
+    [rays, triangles] workspace stays bounded for large scenes.
+
+    Returns (t_min [R], tri_idx [R], has_hit [R])."""
+    num_rays = orig.shape[0]
+    num_tri = tri.shape[0]
+    if num_rays * num_tri <= max_elems:
+        t, hit = moller_trumbore(orig, dirs, tri)
+        t = jnp.where(hit, t, jnp.inf)
+        idx = jnp.argmin(t, axis=-1)
+        t_min = jnp.take_along_axis(t, idx[:, None], axis=1)[:, 0]
+        return t_min, idx, jnp.isfinite(t_min)
+
+    chunk = max(64, max_elems // max(num_rays, 1))
+    n_chunks = -(-num_tri // chunk)
+    pad = n_chunks * chunk - num_tri
+    tri_p = jnp.concatenate(
+        [tri, jnp.zeros((pad, 3, 3), tri.dtype)], axis=0)
+    tri_c = tri_p.reshape(n_chunks, chunk, 3, 3)
+    bases = jnp.arange(n_chunks) * chunk
+
+    def body(carry, args):
+        t_best, i_best = carry
+        tri_chunk, base = args
+        t, hit = moller_trumbore(orig, dirs, tri_chunk)
+        t = jnp.where(hit, t, jnp.inf)
+        i_loc = jnp.argmin(t, axis=-1)
+        t_loc = jnp.take_along_axis(t, i_loc[:, None], axis=1)[:, 0]
+        better = t_loc < t_best
+        return (jnp.where(better, t_loc, t_best),
+                jnp.where(better, base + i_loc, i_best)), None
+
+    init = (jnp.full((num_rays,), jnp.inf),
+            jnp.zeros((num_rays,), jnp.int64))
+    (t_min, idx), _ = jax.lax.scan(body, init, (tri_c, bases))
+    return t_min, idx, jnp.isfinite(t_min)
+
+
+def any_blocking_hit(orig, dirs, tri, excl_ids=None,
+                     max_elems=16_000_000):
+    """Whether each segment [orig, orig+dirs] intersects any triangle
+    with ray parameter in (eps, 1-eps), ignoring triangles listed in
+    ``excl_ids`` [R, K]; chunked over triangles."""
+    num_rays = orig.shape[0]
+    num_tri = tri.shape[0]
+    chunk = num_tri if num_rays * num_tri <= max_elems \
+        else max(64, max_elems // max(num_rays, 1))
+    n_chunks = -(-num_tri // chunk)
+    pad = n_chunks * chunk - num_tri
+    tri_p = jnp.concatenate(
+        [tri, jnp.zeros((pad, 3, 3), tri.dtype)], axis=0)
+    tri_c = tri_p.reshape(n_chunks, chunk, 3, 3)
+    bases = jnp.arange(n_chunks) * chunk
+
+    def body(blocked, args):
+        tri_chunk, base = args
+        t, hit = moller_trumbore(orig, dirs, tri_chunk)
+        b = hit & (t > 1e-4) & (t < 1. - 1e-4)
+        if excl_ids is not None:
+            gid = base + jnp.arange(tri_chunk.shape[0])     # [chunk]
+            excl = jnp.any(
+                gid[None, None, :] == excl_ids[:, :, None], axis=1)
+            b &= ~excl
+        return blocked | jnp.any(b, axis=-1), None
+
+    init = jnp.zeros((num_rays,), bool)
+    blocked, _ = jax.lax.scan(body, init, (tri_c, bases))
+    return blocked
+
+
 def _tri_normals(tri):
     """[T, 3] unit normals"""
     n = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
@@ -70,11 +141,8 @@ def _trace(tri, normals, orig, dirs, depth):
 
     def body(carry, _):
         o, d, active = carry
-        t, hit = moller_trumbore(o, d, tri)
-        t = jnp.where(hit, t, jnp.inf)
-        idx = jnp.argmin(t, axis=-1)                   # [R]
-        t_min = jnp.take_along_axis(t, idx[:, None], axis=1)[:, 0]
-        has_hit = jnp.isfinite(t_min) & active
+        t_min, idx, found = nearest_hit(o, d, tri)
+        has_hit = found & active
         n = normals[idx]                               # [R, 3]
         # flip normal to face the incoming ray
         n = jnp.where(jnp.sum(n * d, axis=-1, keepdims=True) > 0,
@@ -386,30 +454,28 @@ class PathSolver:
         total_len = jnp.sum(seg_len, axis=0)   # [S, tx, rx]
         valid &= total_len > 1e-6
 
-        # --- Occlusion: every segment must be free of intersections
+        # --- Occlusion: every segment must be free of intersections,
+        # ignoring the reflecting triangles at its endpoints
         if scene.num_triangles > 0:
             for k in range(depth + 1):
                 o = pts[k].reshape(-1, 3)
                 d = segs[k].reshape(-1, 3)
-                t_hit, hit = moller_trumbore(o, d, tri)
-                # ignore hits at the segment endpoints (the reflecting
-                # triangles themselves)
-                blocked = hit & (t_hit > 1e-4) & (t_hit < 1. - 1e-4)
+                excl_ids = None
                 if depth > 0:
-                    excl = jnp.zeros(
-                        (s_count, scene.num_triangles), bool)
+                    ids = []
                     for kk in (k - 1, k):
                         if 0 <= kk < depth:
-                            excl |= (jnp.arange(scene.num_triangles)
-                                     [None] == seq[:, kk][:, None])
-                    excl = jnp.broadcast_to(
-                        excl[:, None, None],
-                        (s_count, num_tx, num_rx,
-                         scene.num_triangles)).reshape(
-                             -1, scene.num_triangles)
-                    blocked &= ~excl
-                valid &= ~jnp.any(blocked, axis=-1).reshape(
-                    s_count, num_tx, num_rx)
+                            ids.append(seq[:, kk])
+                        else:
+                            ids.append(jnp.full((s_count,), -1,
+                                                seq.dtype))
+                    excl = jnp.stack(ids, axis=1)      # [S, 2]
+                    excl_ids = jnp.broadcast_to(
+                        excl[:, None, None, :],
+                        (s_count, num_tx, num_rx, 2)).reshape(-1, 2)
+                blocked = any_blocking_hit(o, d, tri,
+                                           excl_ids=excl_ids)
+                valid &= ~blocked.reshape(s_count, num_tx, num_rx)
 
         # --- Polarized field transfer (Jones matrix cascade)
         # basis vectors transverse to the first segment

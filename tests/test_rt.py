@@ -256,3 +256,26 @@ def test_antenna_patterns():
             peak, rel=1e-3)
     et, _ = antenna_pattern("tr38901", th, jnp.asarray([0.]))
     assert float(et[0] ** 2) == pytest.approx(10 ** 0.8, rel=1e-3)
+
+
+def test_chunked_intersection_equivalence():
+    """Triangle-chunked nearest-hit/occlusion (large-scene path) must
+    match the single-shot dense computation."""
+    from sionna_tpu.rt.solver import nearest_hit, any_blocking_hit
+    rng = np.random.default_rng(0)
+    tri = jnp.asarray(rng.normal(size=(500, 3, 3)) * 5.)
+    orig = jnp.asarray(rng.normal(size=(200, 3)) * 10.)
+    dirs = jnp.asarray(rng.normal(size=(200, 3)))
+    t1, i1, h1 = nearest_hit(orig, dirs, tri)
+    t2, i2, h2 = nearest_hit(orig, dirs, tri, max_elems=10_000)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_allclose(np.asarray(t1)[np.asarray(h1)],
+                               np.asarray(t2)[np.asarray(h1)],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i1)[np.asarray(h1)],
+                                  np.asarray(i2)[np.asarray(h1)])
+    excl = jnp.asarray(rng.integers(0, 500, (200, 2)))
+    b1 = any_blocking_hit(orig, dirs, tri, excl_ids=excl)
+    b2 = any_blocking_hit(orig, dirs, tri, excl_ids=excl,
+                          max_elems=10_000)
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
