@@ -20,6 +20,7 @@ from .discrete_channel import (BinaryMemorylessChannel,
                                BinaryErasureChannel, BinaryZChannel)
 from .cir_dataset import CIRDataset
 from . import optical
+from . import tr38901
 from .utils import (subcarrier_frequencies, time_frequency_vector,
                     time_lag_discrete_time_channel, cir_to_ofdm_channel,
                     cir_to_time_channel, time_to_ofdm_channel,

@@ -6,3 +6,4 @@ from .utils import (EXITCallback, DecoderStatisticsCallback,
 from .decoding import (LDPCBPDecoder, LDPC5GDecoder, cn_update_minsum,
                        cn_update_offset_minsum, cn_update_tanh,
                        cn_update_phi, vn_update_sum)
+from . import codes

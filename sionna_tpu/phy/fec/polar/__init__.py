@@ -5,3 +5,4 @@ from .decoding import (PolarSCDecoder, PolarSCLDecoder, PolarBPDecoder,
                        Polar5GDecoder)
 from .utils import (generate_5g_ranking, generate_polar_transform_mat,
                     generate_rm_code, generate_dense_polar)
+from . import codes
