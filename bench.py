@@ -10,6 +10,11 @@ workload is 10.995 Mb/s (graph mode, RTX A6000;
 tutorials/phy/Sionna_tutorial_part1.ipynb cell 63). vs_baseline is the
 ratio of our info-bit throughput to that number.
 
+Measurement: Monte-Carlo iterations are fused on-device with
+``lax.scan`` and every timed call fetches its scalar error count to
+the host, so the timing reflects sustained synchronous throughput
+(async dispatch pipelining is excluded).
+
 TPU constraint: only integer/real scalars are fetched from device (the
 axon backend cannot transfer complex arrays device-to-host).
 """
@@ -32,6 +37,8 @@ def bench_coded_awgn():
     nbps = 4
     k, n = 1024, 2048
     batch_size = 2000
+    n_scan = 10          # MC iterations fused per device call
+    n_calls = 4          # timed host-synced calls
 
     src = BinarySource()
     enc = LDPC5GEncoder(k, n, num_bits_per_symbol=nbps)
@@ -41,29 +48,35 @@ def bench_coded_awgn():
     awgn = AWGN()
 
     @jax.jit
-    def step(ebno_db, key):
-        k1, k2 = jax.random.split(key)
+    def chunk(ebno_db, key):
         no = ebnodb2no(ebno_db, nbps, k / n)
-        b = src([batch_size, k], key=k1)
-        c = enc(b)
-        x = mapper(c)
-        y = awgn(x, no, key=k2)
-        llr = demapper(y, no)
-        b_hat = dec(llr)
-        return jnp.sum((b != b_hat).astype(jnp.int32))
+
+        def body(carry, i):
+            kk = jax.random.fold_in(key, i)
+            k1, k2 = jax.random.split(kk)
+            b = src([batch_size, k], key=k1)
+            c = enc(b)
+            y = awgn(mapper(c), no, key=k2)
+            b_hat = dec(demapper(y, no))
+            return carry + jnp.sum((b != b_hat).astype(jnp.int64)), None
+
+        tot, _ = jax.lax.scan(body, jnp.int64(0), jnp.arange(n_scan))
+        return tot.astype(jnp.int32)
 
     key = jax.random.PRNGKey(0)
     ebno = jnp.asarray(4.0, jnp.float32)
-    step(ebno, key).block_until_ready()  # compile
+    int(chunk(ebno, key))  # compile + sync
+    # A second untimed call absorbs the post-compile execution-path
+    # warmup (observed ~1 s on the first run after compilation)
+    int(chunk(ebno, jax.random.fold_in(key, 999)))
 
-    n_iters = 20
     t0 = time.perf_counter()
     errs = 0
-    for i in range(n_iters):
-        e = step(ebno, jax.random.fold_in(key, i))
-    e.block_until_ready()
+    for r in range(n_calls):
+        errs += int(chunk(ebno, jax.random.fold_in(key, 1000 + r)))
     dt = time.perf_counter() - t0
-    info_bits = n_iters * batch_size * k
+    info_bits = n_calls * n_scan * batch_size * k
+    assert errs > 0  # sanity: the link is actually simulating
     return info_bits / dt
 
 
