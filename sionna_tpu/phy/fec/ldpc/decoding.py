@@ -658,18 +658,20 @@ class LDPC5GDecoder(LDPCBPDecoder):
 
         if engine == "auto":
             # The lifted block-circulant engine is ~5x faster on TPU
-            # for min-sum flooding; fall back otherwise
+            # for (offset-)min-sum flooding; fall back otherwise
             engine = "lifted" if (
-                cn_update == "minsum" and cn_schedule == "flooding"
+                cn_update in ("minsum", "offset-minsum")
+                and cn_schedule == "flooding"
                 and not return_state and not (v2c_callbacks
                                               or c2v_callbacks)
             ) else "segment"
         self._use_lifted = engine == "lifted"
         if self._use_lifted:
-            if cn_update != "minsum" or cn_schedule != "flooding":
+            if cn_update not in ("minsum", "offset-minsum") \
+                    or cn_schedule != "flooding":
                 raise ValueError(
-                    "engine='lifted' supports cn_update='minsum' with "
-                    "the flooding schedule")
+                    "engine='lifted' supports cn_update='minsum' or "
+                    "'offset-minsum' with the flooding schedule")
             engine = "segment"  # base-class fallback engine
 
         super().__init__(pcm, cn_update=cn_update, vn_update=vn_update,
@@ -682,7 +684,8 @@ class LDPC5GDecoder(LDPCBPDecoder):
                          engine=engine, precision=precision, **kwargs)
         if self._use_lifted:
             self._lifted = LDPC5GLiftedBP(
-                encoder, self._num_cns, self._num_vns, self._llr_max)
+                encoder, self._num_cns, self._num_vns, self._llr_max,
+                offset=0.5 if cn_update == "offset-minsum" else 0.0)
 
     @property
     def encoder(self):
@@ -761,9 +764,11 @@ class LDPC5GLiftedBP:
     Used by :class:`LDPC5GDecoder` via ``engine="lifted"``.
     """
 
-    def __init__(self, encoder, num_cns, num_vns, llr_max):
+    def __init__(self, encoder, num_cns, num_vns, llr_max,
+                 offset=0.0):
         self._z = int(encoder.z)
         self._llr_max = float(llr_max)
+        self._offset = float(offset)
         z = self._z
         bm = np.asarray(encoder._bm)
         n_row_blocks = -(-num_cns // z)
@@ -845,6 +850,8 @@ class LDPC5GLiftedBP:
                 for e, m, sgn in zip(eids, mags, signs):
                     unique_min = (m == min1) & (n_min == 1)
                     ext = jnp.where(unique_min, min2, min1)
+                    if self._offset > 0.:
+                        ext = jnp.maximum(ext - self._offset, 0.)
                     out = sign_tot * sgn * jnp.minimum(ext, clip)
                     c2v[e] = out * masks[e]
             return c2v
