@@ -665,13 +665,17 @@ class LDPC5GDecoder(LDPCBPDecoder):
                 and not return_state and not (v2c_callbacks
                                               or c2v_callbacks)
             ) else "segment"
+        self._use_pallas = engine == "pallas"
+        if self._use_pallas:
+            engine = "lifted"
         self._use_lifted = engine == "lifted"
         if self._use_lifted:
             if cn_update not in ("minsum", "offset-minsum") \
                     or cn_schedule != "flooding":
                 raise ValueError(
-                    "engine='lifted' supports cn_update='minsum' or "
-                    "'offset-minsum' with the flooding schedule")
+                    "engine='lifted'/'pallas' supports "
+                    "cn_update='minsum' or 'offset-minsum' with the "
+                    "flooding schedule")
             engine = "segment"  # base-class fallback engine
 
         super().__init__(pcm, cn_update=cn_update, vn_update=vn_update,
@@ -720,7 +724,11 @@ class LDPC5GDecoder(LDPCBPDecoder):
         if self._use_lifted:
             n_it = self._num_iter if num_iter is None else num_iter
             llr_int = -jnp.clip(llr_5g, -self._llr_max, self._llr_max)
-            marg = self._lifted.decode(llr_int, n_it)
+            if self._use_pallas:
+                marg = _lifted_pallas_decode(self._lifted, llr_int,
+                                             n_it)
+            else:
+                marg = self._lifted.decode(llr_int, n_it)
             llr_out = -marg
             x_hat = (llr_out > 0).astype(self.rdtype) \
                 if self._hard_out else llr_out
@@ -890,3 +898,135 @@ class LDPC5GLiftedBP:
         # [C_b, B, z] -> [B, num_vns]
         out = jnp.transpose(marg, (1, 0, 2)).reshape(batch, -1)
         return out[:, :self._num_vns]
+
+
+def _zroll(x, shift, z):
+    """jnp.roll that elides zero shifts (Mosaic rejects the empty
+    slice a zero-shift roll decomposes into)."""
+    shift = shift % z
+    if shift == 0:
+        return x
+    return jnp.roll(x, shift, axis=-1)
+
+
+def _lifted_pallas_decode(lifted, llr_int, num_iter, batch_tile=256,
+                          interpret=None):
+    """EXPERIMENTAL: runs the lifted BP iteration as ONE fused Pallas
+    kernel per batch tile — all ``num_iter`` iterations execute with
+    the message state resident in VMEM, eliminating per-iteration HBM
+    round trips.
+
+    Status: bit-exact vs the XLA lifted engine in interpreter mode;
+    the axon chipless AOT toolchain currently fails to lower the
+    kernel ("Mosaic failed to legalize func.return" on the multi-
+    carry fori_loop), so on-TPU use awaits a toolchain fix.  The XLA
+    lifted engine remains the production path.
+
+    llr_int: [batch, num_vns] classic-convention LLRs.  Returns
+    marginals [batch, num_vns].
+    """
+    from jax.experimental import pallas as pl
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    z = lifted._z
+    clip = lifted._llr_max
+    edges = lifted._edges
+    row_edges = lifted._row_edges
+    col_edges = lifted._col_edges
+    n_cols = lifted._n_col_blocks
+    masks_np = [np.asarray(m) for m in lifted._edge_mask]
+    offset = lifted._offset
+
+    batch = llr_int.shape[0]
+    dtype = llr_int.dtype
+    pad_b = (-batch) % batch_tile
+    pad_v = n_cols * z - lifted._num_vns
+    llr_p = jnp.pad(llr_int, ((0, pad_b), (0, pad_v)))
+    bt_total = llr_p.shape[0]
+    # [B, C_b, z]
+    llr_p = llr_p.reshape(bt_total, n_cols, z)
+
+    masks_arr = jnp.asarray(np.stack(masks_np), dtype)  # [E_b, z]
+
+    def kernel(llr_ref, masks_ref, out_ref):
+        llr = [llr_ref[:, c, :] for c in range(n_cols)]
+        masks = [masks_ref[e, :][None, :]
+                 for e in range(len(edges))]
+        big = jnp.asarray(1e30, dtype)
+
+        def cn_phase(v2c):
+            c2v = [None] * len(edges)
+            for r, eids in row_edges.items():
+                mags, signs = [], []
+                for e in eids:
+                    m = v2c[e]
+                    mags.append(jnp.where(masks[e] > 0, jnp.abs(m),
+                                          big))
+                    signs.append(jnp.where(
+                        masks[e] > 0, jnp.sign(m) + (m == 0), 1.))
+                min1 = mags[0]
+                for m in mags[1:]:
+                    min1 = jnp.minimum(min1, m)
+                min2 = big
+                for m in mags:
+                    min2 = jnp.minimum(
+                        min2, jnp.where(m > min1, m, big))
+                n_min = sum((m == min1).astype(dtype) for m in mags)
+                sign_tot = signs[0]
+                for sgn in signs[1:]:
+                    sign_tot = sign_tot * sgn
+                for e, m, sgn in zip(eids, mags, signs):
+                    unique_min = (m == min1) & (n_min == 1)
+                    ext = jnp.where(unique_min, min2, min1)
+                    if offset > 0.:
+                        ext = jnp.maximum(ext - offset, 0.)
+                    out = sign_tot * sgn * jnp.minimum(ext, clip)
+                    c2v[e] = out * masks[e]
+            return c2v
+
+        def vn_phase(c2v):
+            v2c = [None] * len(edges)
+            marg = [None] * n_cols
+            for c in range(n_cols):
+                eids = col_edges.get(c, [])
+                rolled = [_zroll(c2v[e], edges[e][2], z)
+                          for e in eids]
+                tot = llr[c]
+                for x in rolled:
+                    tot = tot + x
+                marg[c] = jnp.clip(tot, -clip, clip)
+                for e, x in zip(eids, rolled):
+                    v = jnp.clip(tot - x, -clip, clip)
+                    v2c[e] = _zroll(v, -edges[e][2], z)
+            return v2c, marg
+
+        v2c0 = jnp.stack([
+            _zroll(jnp.clip(llr[c], -clip, clip), -s, z)
+            for (r, c, s) in edges])
+        marg0 = jnp.stack([llr[c] for c in range(n_cols)])
+
+        def body(it, state):
+            v2c, _ = state
+            c2v = cn_phase([v2c[e] for e in range(len(edges))])
+            v2c_new, marg = vn_phase(c2v)
+            return jnp.stack(v2c_new), jnp.stack(marg)
+
+        _, marg = jax.lax.fori_loop(0, num_iter, body, (v2c0, marg0))
+        for c in range(n_cols):
+            out_ref[:, c, :] = marg[c]
+
+    grid = (bt_total // batch_tile,)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((batch_tile, n_cols, z),
+                               lambda i: (i, 0, 0)),
+                  pl.BlockSpec((len(edges), z), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((batch_tile, n_cols, z),
+                               lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bt_total, n_cols, z), dtype),
+        interpret=interpret,
+    )(llr_p, masks_arr)
+    out = out.reshape(bt_total, n_cols * z)
+    return out[:batch, :lifted._num_vns]

@@ -313,3 +313,20 @@ def test_ldpc_layered_schedule():
                              cn_update="boxplus-phi",
                              cn_schedule=layers)
     assert ber(d_custom) == layer5
+
+
+def test_ldpc_pallas_engine_interpret():
+    """The experimental fused Pallas engine is bit-exact vs the XLA
+    lifted engine (interpreter mode on CPU)."""
+    from sionna_tpu.phy.fec.ldpc import LDPC5GEncoder, LDPC5GDecoder
+    enc = LDPC5GEncoder(256, 512)
+    rng = np.random.default_rng(11)
+    b = rng.integers(0, 2, (4, 256)).astype(np.float64)
+    c = np.asarray(enc(jnp.asarray(b)))
+    llr = jnp.asarray((2 * c - 1) * 2. + rng.normal(0, 1., c.shape))
+    d_l = LDPC5GDecoder(enc, num_iter=5, cn_update="minsum",
+                        hard_out=False)
+    d_p = LDPC5GDecoder(enc, num_iter=5, cn_update="minsum",
+                        hard_out=False, engine="pallas")
+    np.testing.assert_array_equal(np.asarray(d_l(llr)),
+                                  np.asarray(d_p(llr)))
