@@ -11,7 +11,7 @@ from . import phy
 from . import sys
 from . import rt
 
-_LAZY_SUBPACKAGES = ("sys", "rt", "parallel", "ops")
+_LAZY_SUBPACKAGES = ("sys", "rt")
 
 
 def __getattr__(name):

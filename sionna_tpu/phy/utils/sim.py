@@ -170,8 +170,12 @@ def sim_ber(mc_fun, ebno_dbs, batch_size, max_mc_iter,
     from their recorded iteration count).
     """
     # pylint: disable=unused-argument
-    rdtype = (np.float64 if precision in (None, "double", "single")
-              else np.float64)
+    if graph_mode not in (None, "graph", "xla"):
+        raise ValueError(
+            "graph_mode must be None, 'graph' or 'xla' (all modes jit "
+            "on TPU; the kwarg exists for reference API parity)")
+    if precision not in (None, "single", "double"):
+        raise ValueError("precision must be 'single' or 'double'")
     ebno_dbs = np.atleast_1d(np.asarray(ebno_dbs, np.float64))
     num_points = len(ebno_dbs)
 
@@ -257,7 +261,10 @@ def sim_ber(mc_fun, ebno_dbs, batch_size, max_mc_iter,
             while iters_done < max_mc_iter and not point_done:
                 n = min(device_iters, max_mc_iter - iters_done)
                 fn = get_chunk_fn(n)
-                key = jax.random.fold_in(root_key, i * 100003 + iters_done)
+                # fold point index and iteration separately so no two
+                # (point, iteration) pairs can collide
+                key = jax.random.fold_in(
+                    jax.random.fold_in(root_key, i), iters_done)
                 be, ble, nb, nblk = fn(
                     jnp.asarray(ebno_dbs[i], jnp.float32), key)
                 bit_errors[i] += int(be)
