@@ -177,67 +177,126 @@ class LinearInterpolator(BaseChannelInterpolator):
 
 
 class LMMSEInterpolator(BaseChannelInterpolator):
-    """LMMSE interpolation given frequency/time covariance matrices,
-    precomputed into a dense per-pattern operator
-    (re-design of reference channel_estimation.py:1367, which could not
-    run under XLA; here the operator is static and jit-friendly).
+    """Ordered per-dimension LMMSE interpolation / smoothing
+    (reference channel_estimation.py:1367; fresh JAX implementation
+    that, unlike the reference, runs under jit/XLA).
 
-    The operator is W = R_hp (R_pp + diag(err_var_nominal))^{-1}
-    with R built from kron(time_cov, freq_cov) restricted to pilot
-    positions. ``order`` is accepted for API parity ("f-t", "t-f");
-    both produce the same joint-kron operator here.
+    ``order`` names the 1D passes, e.g. ``"t-f"`` (time then
+    frequency), ``"f-t"``, or ``"t-f-s"`` (with spatial smoothing
+    across receive antennas).  Each pass is an
+    :class:`LMMSEInterpolator1D` (or :class:`SpatialChannelFilter`)
+    along that dimension; between passes the estimates are rescaled so
+    their variances match what the next pass expects (reference
+    channel_estimation.py:1103-1153), mirroring the reference
+    algorithm exactly.  Time and frequency passes are mandatory; each
+    dimension may appear at most once.
     """
 
-    def __init__(self, pilot_pattern, cov_mat_freq, cov_mat_time=None,
-                 order="f-t", nominal_err_var=0.01):
+    def __init__(self, pilot_pattern, cov_mat_time, cov_mat_freq,
+                 cov_mat_space=None, order="t-f"):
         super().__init__()
+        steps = order.split("-")
+        if not 2 <= len(steps) <= 3 or len(set(steps)) != len(steps) \
+                or any(o not in ("t", "f", "s") for o in steps) \
+                or "t" not in steps or "f" not in steps:
+            raise ValueError(
+                "order must name 't' and 'f' (and optionally 's') "
+                "each at most once, e.g. 't-f', 'f-t', 't-f-s'")
+        if "s" in steps and cov_mat_space is None:
+            raise ValueError("cov_mat_space is required for spatial "
+                             "smoothing ('s' in order)")
+        self._order = steps
+
         mask = np.array(pilot_pattern.mask)
-        num_sym, num_eff = mask.shape[-2:]
         pilots = np.asarray(pilot_pattern.pilots)
-        pilots_flat = pilots.reshape([-1, pilots.shape[-1]])
-        mask_flat = mask.reshape([-1, num_sym, num_eff])
-        rf = np.asarray(cov_mat_freq)
-        if cov_mat_time is None:
-            rt = np.eye(num_sym)
-        else:
-            rt = np.asarray(cov_mat_time)
+        num_tx, num_st, num_sym, num_eff = mask.shape
+        self._num_sym, self._num_eff = num_sym, num_eff
 
-        ops = []
-        for a in range(mask_flat.shape[0]):
-            i_p, j_p = np.where(mask_flat[a])
-            valid = np.abs(pilots_flat[a]) != 0
-            p_total = len(pilots_flat[a])
-            ip, jp = i_p[valid], j_p[valid]
-            # R_pp and R_hp from the separable covariance
-            r_pp = rt[np.ix_(ip, ip)] * rf[np.ix_(jp, jp)]
-            t_all = np.repeat(np.arange(num_sym), num_eff)
-            f_all = np.tile(np.arange(num_eff), num_sym)
-            r_hp = rt[np.ix_(t_all, ip)] * rf[np.ix_(f_all, jp)]
-            a_mat = r_pp + nominal_err_var * np.eye(len(ip))
-            w_valid = r_hp @ np.linalg.inv(a_mat)
-            w = np.zeros((num_sym * num_eff, p_total),
-                         dtype=w_valid.dtype)
-            w[:, np.where(valid)[0]] = w_valid
-            ops.append(w)
-        w = np.stack(ops)
-        self._w = w.reshape(mask.shape[:-2]
-                            + (num_sym * num_eff, pilots.shape[-1]))
-        self._num_sym = num_sym
-        self._num_eff = num_eff
+        # Pilot mask over the grid: 0=data, 1=pilot, 2=masked
+        # (zero-power pilot), plus per-(tx, st) scatter maps from the
+        # pilot vector into the flattened grid.
+        pilot_mask = np.zeros(mask.shape, np.int64)
+        scat_grid, scat_pil = [], []
+        for tx in range(num_tx):
+            for st in range(num_st):
+                pos = np.argwhere(mask[tx, st])       # row-major
+                nonzero = np.abs(pilots[tx, st]) > 0.
+                pilot_mask[tx, st, pos[:, 0], pos[:, 1]] = \
+                    np.where(nonzero, 1, 2)
+                flat = pos[:, 0] * num_eff + pos[:, 1]
+                scat_grid.append(flat[nonzero].astype(np.int32))
+                scat_pil.append(np.where(nonzero)[0].astype(np.int32))
+        self._scat_grid = scat_grid
+        self._scat_pil = scat_pil
 
-    def _apply(self, x):
-        w = jnp.asarray(self._w, x.dtype)
-        out = jnp.einsum("...tsp,tsrp->...tsr", x, w)
-        return jnp.reshape(out, out.shape[:-1]
-                           + (self._num_sym, self._num_eff))
+        # One 1D pass per order entry, built against the pilot mask
+        # as it evolves (a pass fills every row it touches).
+        passes = []
+        for i, o in enumerate(steps):
+            last = i == len(steps) - 1
+            if o == "f":
+                interp = LMMSEInterpolator1D(
+                    pilot_mask, cov_mat_freq, last_step=last)
+                filled = np.any(pilot_mask == 1, axis=-1,
+                                keepdims=True)
+                pilot_mask = np.where(filled, 1, pilot_mask)
+            elif o == "t":
+                interp = LMMSEInterpolator1D(
+                    np.swapaxes(pilot_mask, -1, -2), cov_mat_time,
+                    last_step=last)
+                filled = np.any(pilot_mask == 1, axis=-2,
+                                keepdims=True)
+                pilot_mask = np.where(filled, 1, pilot_mask)
+            else:
+                interp = SpatialChannelFilter(cov_mat_space,
+                                              last_step=last)
+            passes.append((o, interp, (pilot_mask == 1)))
+        self._passes = passes
 
     def __call__(self, h_hat, err_var):
         h_hat = jnp.asarray(h_hat)
-        err_var = jnp.broadcast_to(jnp.asarray(err_var), h_hat.shape)
-        h_out = self._apply(h_hat)
-        err_out = self._apply(err_var.astype(h_hat.dtype))
-        err_out = jnp.maximum(jnp.real(err_out), 0.)
-        return h_out, err_out
+        err_var = jnp.broadcast_to(
+            jnp.asarray(err_var, jnp.real(h_hat).dtype), h_hat.shape)
+        lead = h_hat.shape[:-3]  # [batch, num_rx, num_rx_ant]
+        num_tx, num_st = h_hat.shape[-3], h_hat.shape[-2]
+
+        # Scatter pilot estimates onto the full resource grid
+        grid_shape = lead + (num_tx, num_st,
+                             self._num_sym * self._num_eff)
+        h = jnp.zeros(grid_shape, h_hat.dtype)
+        e = jnp.zeros(grid_shape, err_var.dtype)
+        for tx in range(num_tx):
+            for st in range(num_st):
+                gi = self._scat_grid[tx * num_st + st]
+                pi = self._scat_pil[tx * num_st + st]
+                h = h.at[..., tx, st, gi].set(
+                    h_hat[..., tx, st, pi])
+                e = e.at[..., tx, st, gi].set(
+                    err_var[..., tx, st, pi])
+        h = jnp.reshape(h, grid_shape[:-1]
+                        + (self._num_sym, self._num_eff))
+        e = jnp.reshape(e, grid_shape[:-1]
+                        + (self._num_sym, self._num_eff))
+
+        for o, interp, err_mask in self._passes:
+            if o == "f":
+                h, e = interp(h, e)
+                e = e * jnp.asarray(err_mask, e.dtype)
+            elif o == "t":
+                h, e = interp(jnp.swapaxes(h, -1, -2),
+                              jnp.swapaxes(e, -1, -2))
+                h = jnp.swapaxes(h, -1, -2)
+                e = jnp.swapaxes(e, -1, -2)
+                e = e * jnp.asarray(err_mask, e.dtype)
+            else:
+                # smooth across receive antennas
+                # ([..., rxa, tx, st, sym, sc] -> rxa last)
+                h = jnp.moveaxis(h, -5, -1)
+                e = jnp.moveaxis(e, -5, -1)
+                h, e = interp(h, e)
+                h = jnp.moveaxis(h, -1, -5)
+                e = jnp.moveaxis(e, -1, -5)
+        return h, e
 
 
 def tdl_freq_cov_mat(bandwidth, num_subcarriers, delay_spread,

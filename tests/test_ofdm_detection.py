@@ -99,7 +99,8 @@ def test_lmmse_interpolator():
                            100e-9)
     r_t = tdl_time_cov_mat(rg.num_ofdm_symbols,
                            rg.ofdm_symbol_duration, 10.0)
-    interp = LMMSEInterpolator(rg.pilot_pattern, r_f, r_t)
+    interp = LMMSEInterpolator(rg.pilot_pattern, r_t, r_f,
+                               order="f-t")
     est = LSChannelEstimator(rg, interpolator=interp)
     ch_model = RayleighBlockFading(1, 4, 1, 2)
     channel = OFDMChannel(ch_model, rg, return_channel=True)
