@@ -347,51 +347,60 @@ class PUSCHConfig(Config):
     @property
     def dmrs_grid(self):
         """[num_dmrs_ports, num_subcarriers, num_symbols_per_slot]
-        complex: per-port resource grid filled with DMRS signals (TS
-        38.211 Sec. 6.4.1.1)."""
-        self.check_config()
-        reset = False
-        if len(self.dmrs.dmrs_port_set) == 0:
-            self.dmrs.dmrs_port_set = list(range(self.num_layers))
-            reset = True
+        complex: per-port resource grid filled with DMRS signals.
 
-        a_tilde = np.zeros([len(self.dmrs.dmrs_port_set),
-                            self.num_subcarriers,
-                            self.carrier.num_symbols_per_slot],
-                           complex)
-        for l_bar in self.l_bar:
-            for l_prime in self.l_prime:
+        Vectorized evaluation of TS 38.211 Sec. 6.4.1.1: for every
+        DMRS symbol the Gold-sequence QPSK reference r(m) is scattered
+        onto subcarriers k(n, k') with the per-port frequency shift
+        delta and covered by the OCC weights w_f(k') * w_t(l').
+        """
+        self.check_config()
+        dmrs = self.dmrs
+        if len(dmrs.dmrs_port_set) == 0:
+            # ports default to the first num_layers antenna ports;
+            # work on a clone so the user's config stays untouched
+            dmrs = dmrs.clone()
+            dmrs.dmrs_port_set = list(range(self.num_layers))
+
+        num_ports = len(dmrs.dmrs_port_set)
+        num_sc = self.num_subcarriers
+        grid = np.zeros([num_ports, num_sc,
+                         self.carrier.num_symbols_per_slot], complex)
+
+        # Static index maps, shared by all DMRS symbols.
+        n = np.asarray(self.n)                                  # [N]
+        kp = np.arange(2)                                       # [2]
+        delta = np.asarray(dmrs.deltas)                         # [P]
+        if dmrs.config_type == 1:
+            k_nk = 4 * n[:, None] + 2 * kp[None, :]             # [N,2]
+        else:
+            k_nk = 6 * n[:, None] + kp[None, :]
+        k_pnk = k_nk[None] + delta[:, None, None]           # [P,N,2]
+        m_nk = 2 * n[:, None] + kp[None, :]                     # [N,2]
+        wf_pk = np.asarray(dmrs.w_f).T[:, None, :]          # [P,1,2]
+        p_idx = np.arange(num_ports)[:, None, None]
+
+        for l_prime in self.l_prime:
+            wt_p = np.asarray(dmrs.w_t)[l_prime]                # [P]
+            for l_bar in self.l_bar:
                 l = l_bar + l_prime
-                c_init = self.c_init(l)
-                c = generate_prng_seq(2 * self.num_subcarriers, c_init)
-                r = (1 / np.sqrt(2)
-                     * ((1 - 2 * c[::2]) + 1j * (1 - 2 * c[1::2])))
-                for j_ind in range(len(self.dmrs.dmrs_port_set)):
-                    for n in self.n:
-                        for k_prime in (0, 1):
-                            if self.dmrs.config_type == 1:
-                                k = 4 * n + 2 * k_prime \
-                                    + self.dmrs.deltas[j_ind]
-                            else:
-                                k = 6 * n + k_prime \
-                                    + self.dmrs.deltas[j_ind]
-                            a_tilde[j_ind, k, self.l_ref + l] = (
-                                r[2 * n + k_prime]
-                                * self.dmrs.w_f[k_prime][j_ind]
-                                * self.dmrs.w_t[l_prime][j_ind])
-        a = self.dmrs.beta * a_tilde
-        if reset:
-            self.dmrs.dmrs_port_set = []
-        return a
+                c = generate_prng_seq(2 * num_sc, self.c_init(l))
+                r = ((1. - 2. * c[0::2])
+                     + 1j * (1. - 2. * c[1::2])) / np.sqrt(2.)
+                vals = (r[m_nk][None] * wf_pk
+                        * wt_p[:, None, None])              # [P,N,2]
+                grid[p_idx, k_pnk, self.l_ref + l] = vals
+        return dmrs.beta * grid
 
     @property
     def dmrs_grid_precoded(self):
+        """[num_antenna_ports, num_subcarriers, num_symbols_per_slot]
+        complex: codebook-precoded DMRS grid (None for non-codebook
+        transmission)."""
         if self.precoding == "non-codebook":
             return None
-        w = self.precoding_matrix[None, None]
-        a = np.transpose(self.dmrs_grid, [1, 2, 0])[..., None]
-        a = np.matmul(w, a)[..., 0]
-        return np.transpose(a, [2, 0, 1])
+        return np.einsum("pl,lkt->pkt", self.precoding_matrix,
+                         self.dmrs_grid)
 
     @property
     def precoding_matrix(self):
