@@ -17,5 +17,5 @@ from .misc import (
     dict_keys_to_int, scalar_to_shaped_tensor, DeepUpdateDict,
     Interpolate, SplineGriddataInterpolation, MCSDecoder, TransportBlock,
     SingleLinkChannel)
-from .sim import sim_ber
+from .sim import sim_ber, init_multihost
 from .plotting import plot_ber, PlotBER

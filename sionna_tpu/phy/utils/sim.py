@@ -32,7 +32,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import config, dtypes
 from .misc import hard_decisions
 
-__all__ = ["sim_ber"]
+__all__ = ["sim_ber", "init_multihost"]
 
 
 def _accepts_key(fn):
@@ -138,9 +138,40 @@ def _resolve_mesh(distribute):
         if len(devs) == 1:
             return None
         return Mesh(np.array(devs), ("batch",))
+    if distribute == "multihost":
+        # DCN multi-host data parallelism (SURVEY build-plan step 11;
+        # reference analog misc.py:618-655): same psum chunk, mesh
+        # over the GLOBAL device set. The caller must have run
+        # init_multihost()/jax.distributed.initialize() at process
+        # start (before first backend use).
+        if jax.process_count() < 2:
+            raise RuntimeError(
+                "distribute='multihost' requires an initialized "
+                "multi-process runtime: call "
+                "sionna_tpu.phy.utils.init_multihost(...) (or "
+                "jax.distributed.initialize) before any JAX "
+                "computation, and launch one process per host")
+        return Mesh(np.array(jax.devices()), ("batch",))
     if isinstance(distribute, (list, tuple)):
         return Mesh(np.array(list(distribute)), ("batch",))
     raise ValueError(f"Unsupported distribute argument: {distribute}")
+
+
+def init_multihost(coordinator_address=None, num_processes=None,
+                   process_id=None, **kwargs):
+    """Initializes the JAX multi-process (DCN) runtime for
+    ``sim_ber(distribute='multihost')``.
+
+    Thin wrapper over ``jax.distributed.initialize`` (args may also
+    come from the cluster environment, e.g. on Cloud TPU pods where
+    all three can be None). Must run before any other JAX call in the
+    process. Every process then sees the global device set via
+    ``jax.devices()`` and the sweep's error counters are psum-reduced
+    over DCN+ICI; all processes must run the same sweep (same seed).
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id, **kwargs)
 
 
 def sim_ber(mc_fun, ebno_dbs, batch_size, max_mc_iter,
@@ -228,7 +259,7 @@ def sim_ber(mc_fun, ebno_dbs, batch_size, max_mc_iter,
                   "sweep; starting fresh")
 
     def _save_checkpoint():
-        if checkpoint_path is None:
+        if checkpoint_path is None or jax.process_index() != 0:
             return
         tmp = checkpoint_path + ".tmp.npz"
         np.savez(tmp, ebno_dbs=ebno_dbs, bit_errors=bit_errors,
