@@ -657,10 +657,12 @@ class LDPC5GDecoder(LDPCBPDecoder):
                            for i in range(0, num_cns, z)]
 
         if engine == "auto":
-            # The lifted block-circulant engine is ~5x faster on TPU
-            # for (offset-)min-sum flooding; fall back otherwise
+            # The lifted block-circulant engine is the TPU fast path
+            # for every built-in flooding CN update; fall back
+            # otherwise
             engine = "lifted" if (
-                cn_update in ("minsum", "offset-minsum")
+                cn_update in ("minsum", "offset-minsum", "boxplus",
+                              "boxplus-phi")
                 and cn_schedule == "flooding"
                 and not return_state and not (v2c_callbacks
                                               or c2v_callbacks)
@@ -670,12 +672,14 @@ class LDPC5GDecoder(LDPCBPDecoder):
             engine = "lifted"
         self._use_lifted = engine == "lifted"
         if self._use_lifted:
-            if cn_update not in ("minsum", "offset-minsum") \
-                    or cn_schedule != "flooding":
+            if not isinstance(cn_update, str) or cn_update not in (
+                    "minsum", "offset-minsum", "boxplus",
+                    "boxplus-phi") or cn_schedule != "flooding":
                 raise ValueError(
-                    "engine='lifted'/'pallas' supports "
-                    "cn_update='minsum' or 'offset-minsum' with the "
-                    "flooding schedule")
+                    "engine='lifted'/'pallas' supports the built-in "
+                    "CN updates ('minsum', 'offset-minsum', "
+                    "'boxplus', 'boxplus-phi') with the flooding "
+                    "schedule")
             if return_state:
                 raise ValueError(
                     "engine='lifted'/'pallas' does not keep per-edge "
@@ -695,7 +699,10 @@ class LDPC5GDecoder(LDPCBPDecoder):
         if self._use_lifted:
             self._lifted = LDPC5GLiftedBP(
                 encoder, self._num_cns, self._num_vns, self._llr_max,
-                offset=0.5 if cn_update == "offset-minsum" else 0.0)
+                offset=0.5 if cn_update == "offset-minsum" else 0.0,
+                cn_mode="boxplus" if cn_update in ("boxplus",
+                                                   "boxplus-phi")
+                else "minsum")
 
     @property
     def encoder(self):
@@ -768,8 +775,71 @@ class LDPC5GDecoder(LDPCBPDecoder):
         return out
 
 
+def _lifted_cn_phase(v2c, masks, row_edges, n_edges, dtype, clip,
+                     offset, mode):
+    """Shared CN phase of the lifted engine (XLA and Pallas paths).
+
+    ``mode="minsum"``: two-minima tracking with optional offset.
+    ``mode="boxplus"``: exact SPA via the tanh product rule, matching
+    the segment engine's cn_update_tanh semantics (magnitudes floored
+    at 1e-12, extrinsic product clamped below 1)."""
+    c2v = [None] * n_edges
+    big = jnp.asarray(1e30, dtype)
+    for r, eids in row_edges.items():
+        if mode == "boxplus":
+            mags, signs = [], []
+            one = jnp.asarray(1., dtype)
+            tiny = jnp.asarray(1e-12, dtype)
+            for e in eids:
+                m = v2c[e]
+                t = jnp.tanh(jnp.abs(m) / 2)
+                mags.append(jnp.where(masks[e] > 0,
+                                      jnp.maximum(t, tiny), one))
+                signs.append(jnp.where(
+                    masks[e] > 0, jnp.sign(m) + (m == 0), 1.))
+            prod = mags[0]
+            for t in mags[1:]:
+                prod = prod * t
+            sign_tot = signs[0]
+            for sgn in signs[1:]:
+                sign_tot = sign_tot * sgn
+            hi = jnp.asarray(1 - 1e-7, dtype)
+            for e, t, sgn in zip(eids, mags, signs):
+                ext = jnp.minimum(prod / t, hi)
+                # 2*atanh(x) = log((1+x)/(1-x)); Mosaic has no atanh
+                mag = jnp.log((1 + ext) / (1 - ext))
+                out = sign_tot * sgn * jnp.minimum(mag, clip)
+                c2v[e] = out * masks[e]
+            continue
+        mags, signs = [], []
+        for e in eids:
+            m = v2c[e]
+            mags.append(jnp.where(masks[e] > 0, jnp.abs(m), big))
+            signs.append(jnp.where(
+                masks[e] > 0, jnp.sign(m) + (m == 0), 1.))
+        min1 = mags[0]
+        for m in mags[1:]:
+            min1 = jnp.minimum(min1, m)
+        min2 = big
+        for m in mags:
+            min2 = jnp.minimum(min2, jnp.where(m > min1, m, big))
+        n_min = sum((m == min1).astype(dtype) for m in mags)
+        sign_tot = signs[0]
+        for sgn in signs[1:]:
+            sign_tot = sign_tot * sgn
+        for e, m, sgn in zip(eids, mags, signs):
+            unique_min = (m == min1) & (n_min == 1)
+            ext = jnp.where(unique_min, min2, min1)
+            if offset > 0.:
+                ext = jnp.maximum(ext - offset, 0.)
+            out = sign_tot * sgn * jnp.minimum(ext, clip)
+            c2v[e] = out * masks[e]
+    return c2v
+
+
 class LDPC5GLiftedBP:
-    """Lifted block-circulant min-sum BP engine for 5G LDPC codes.
+    """Lifted block-circulant BP engine for 5G LDPC codes
+    ((offset-)min-sum and exact-SPA boxplus CN updates).
 
     The TPU-native formulation: messages live per base edge as
     [batch, Z] tiles in check-node alignment; cyclic shifts become
@@ -782,10 +852,13 @@ class LDPC5GLiftedBP:
     """
 
     def __init__(self, encoder, num_cns, num_vns, llr_max,
-                 offset=0.0):
+                 offset=0.0, cn_mode="minsum"):
         self._z = int(encoder.z)
         self._llr_max = float(llr_max)
         self._offset = float(offset)
+        if cn_mode not in ("minsum", "boxplus"):
+            raise ValueError("cn_mode must be 'minsum' or 'boxplus'")
+        self._cn_mode = cn_mode
         z = self._z
         bm = np.asarray(encoder._bm)
         n_row_blocks = -(-num_cns // z)
@@ -840,38 +913,12 @@ class LDPC5GLiftedBP:
         row_edges = self._row_edges
         col_edges = self._col_edges
         masks = [jnp.asarray(m, dtype) for m in self._edge_mask]
-        big = jnp.asarray(1e30, dtype)
 
         def cn_phase(v2c):
             """v2c: list of [B, z] CN-aligned; returns c2v list."""
-            c2v = [None] * len(edges)
-            for r, eids in row_edges.items():
-                mags, signs = [], []
-                for e in eids:
-                    m = v2c[e]
-                    mags.append(jnp.where(masks[e] > 0, jnp.abs(m),
-                                          big))
-                    signs.append(jnp.where(
-                        masks[e] > 0, jnp.sign(m) + (m == 0), 1.))
-                min1 = mags[0]
-                for m in mags[1:]:
-                    min1 = jnp.minimum(min1, m)
-                min2 = big
-                for m in mags:
-                    min2 = jnp.minimum(min2,
-                                       jnp.where(m > min1, m, big))
-                n_min = sum((m == min1).astype(dtype) for m in mags)
-                sign_tot = signs[0]
-                for sgn in signs[1:]:
-                    sign_tot = sign_tot * sgn
-                for e, m, sgn in zip(eids, mags, signs):
-                    unique_min = (m == min1) & (n_min == 1)
-                    ext = jnp.where(unique_min, min2, min1)
-                    if self._offset > 0.:
-                        ext = jnp.maximum(ext - self._offset, 0.)
-                    out = sign_tot * sgn * jnp.minimum(ext, clip)
-                    c2v[e] = out * masks[e]
-            return c2v
+            return _lifted_cn_phase(v2c, masks, row_edges, len(edges),
+                                    dtype, clip, self._offset,
+                                    self._cn_mode)
 
         def vn_phase(c2v):
             """Returns (v2c list CN-aligned, marg [C_b, B, z])."""
@@ -967,40 +1014,15 @@ def _lifted_pallas_decode(lifted, llr_int, num_iter, batch_tile=None,
 
     masks_arr = jnp.asarray(np.stack(masks_np), dtype)  # [E_b, z]
 
+    cn_mode = lifted._cn_mode
+
     def kernel(llr_ref, masks_ref, out_ref, v2c_ref):
         llr = [llr_ref[:, c * z:(c + 1) * z] for c in range(n_cols)]
         masks = [masks_ref[e:e + 1, :] for e in range(len(edges))]
-        big = jnp.asarray(1e30, dtype)
 
         def cn_phase(v2c):
-            c2v = [None] * len(edges)
-            for r, eids in row_edges.items():
-                mags, signs = [], []
-                for e in eids:
-                    m = v2c[e]
-                    mags.append(jnp.where(masks[e] > 0, jnp.abs(m),
-                                          big))
-                    signs.append(jnp.where(
-                        masks[e] > 0, jnp.sign(m) + (m == 0), 1.))
-                min1 = mags[0]
-                for m in mags[1:]:
-                    min1 = jnp.minimum(min1, m)
-                min2 = big
-                for m in mags:
-                    min2 = jnp.minimum(
-                        min2, jnp.where(m > min1, m, big))
-                n_min = sum((m == min1).astype(dtype) for m in mags)
-                sign_tot = signs[0]
-                for sgn in signs[1:]:
-                    sign_tot = sign_tot * sgn
-                for e, m, sgn in zip(eids, mags, signs):
-                    unique_min = (m == min1) & (n_min == 1)
-                    ext = jnp.where(unique_min, min2, min1)
-                    if offset > 0.:
-                        ext = jnp.maximum(ext - offset, 0.)
-                    out = sign_tot * sgn * jnp.minimum(ext, clip)
-                    c2v[e] = out * masks[e]
-            return c2v
+            return _lifted_cn_phase(v2c, masks, row_edges, len(edges),
+                                    dtype, clip, offset, cn_mode)
 
         def vn_phase(c2v):
             v2c = [None] * len(edges)
@@ -1025,11 +1047,13 @@ def _lifted_pallas_decode(lifted, llr_int, num_iter, batch_tile=None,
         # multi-array or >rank-2, and large tpu.concatenate chains.
         n_e = len(edges)
 
+        zp = -(-z // 128) * 128  # lane-aligned slot stride
+
         def rd(e):
-            return v2c_ref[:, e * z:(e + 1) * z]
+            return v2c_ref[:, e * zp:e * zp + z]
 
         for ei, (r, c, s) in enumerate(edges):
-            v2c_ref[:, ei * z:(ei + 1) * z] = _zroll(
+            v2c_ref[:, ei * zp:ei * zp + z] = _zroll(
                 jnp.clip(llr[c], -clip, clip), -s, z)
         for c in range(n_cols):  # num_iter == 0 → marginals = inputs
             out_ref[:, c * z:(c + 1) * z] = llr[c]
@@ -1038,7 +1062,7 @@ def _lifted_pallas_decode(lifted, llr_int, num_iter, batch_tile=None,
             c2v = cn_phase([rd(e) for e in range(n_e)])
             v2c_new, marg = vn_phase(c2v)
             for e in range(n_e):
-                v2c_ref[:, e * z:(e + 1) * z] = v2c_new[e]
+                v2c_ref[:, e * zp:e * zp + z] = v2c_new[e]
             for c in range(n_cols):
                 out_ref[:, c * z:(c + 1) * z] = marg[c]
             return tok
@@ -1071,7 +1095,8 @@ def _lifted_pallas_decode(lifted, llr_int, num_iter, batch_tile=None,
         out_specs=pl.BlockSpec((batch_tile, n_cols * z), _iz),
         out_shape=jax.ShapeDtypeStruct((bt_total, n_cols * z), dtype),
         scratch_shapes=[
-            pltpu.VMEM((batch_tile, len(edges) * z), dtype)],
+            pltpu.VMEM((batch_tile, len(edges) * (-(-z // 128) * 128)),
+                       dtype)],
         interpret=interpret,
     )(llr_p, masks_arr)
     return out[:batch, :lifted._num_vns]

@@ -22,6 +22,7 @@ from ..mapping import (Constellation, SymbolLogits2LLRs,
                        LLRs2SymbolLogits, SymbolLogits2Moments,
                        SymbolInds2Bits, PAM2QAM, pam, qam)
 from ..utils.tensors import expand_to_rank
+from ..utils.linalg import batched_cholesky, cholesky_solve
 from .equalization import lmmse_equalizer, zf_equalizer, mf_equalizer
 from .utils import (whiten_channel, complex2real_channel,
                     complex2real_matrix, complex2real_vector,
@@ -440,9 +441,9 @@ class EPDetector(Block):
             lam, gam, _ = state
             eye = jnp.eye(k2, dtype=self.rdtype)
             a = hth + lam[..., None, :] * eye
-            chol = jnp.linalg.cholesky(a)
+            chol = batched_cholesky(a)
             eye = jnp.broadcast_to(jnp.eye(k2, dtype=a.dtype), a.shape)
-            ainv = jax.scipy.linalg.cho_solve((chol, True), eye)
+            ainv = cholesky_solve(chol, eye)
             sig_diag = jnp.diagonal(ainv, axis1=-2, axis2=-1)
             mu = jnp.matmul(ainv, (hty + gam)[..., None])[..., 0]
             # cavity
@@ -544,8 +545,8 @@ class MMSEPICDetector(Block):
             a = a + jnp.broadcast_to(jnp.eye(h.shape[-2],
                                              dtype=self.cdtype),
                                      a.shape)
-            chol = jnp.linalg.cholesky(a)
-            ainv_h = jax.scipy.linalg.cho_solve((chol, True), h)
+            chol = batched_cholesky(a)
+            ainv_h = cholesky_solve(chol, h)
             # mu_k = h_k^H A^{-1} h_k
             mu = jnp.real(jnp.sum(jnp.conjugate(h) * ainv_h, axis=-2))
             # filter output for each stream with its own soft symbol

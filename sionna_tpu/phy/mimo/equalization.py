@@ -10,7 +10,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import config, dtypes
-from ..utils.linalg import matrix_pinv
+from ..utils.linalg import (matrix_pinv, batched_cholesky,
+                            cholesky_solve)
 from ..utils.tensors import expand_to_rank
 from .utils import whiten_channel
 
@@ -24,10 +25,9 @@ def _cdtype(precision):
 
 
 def _cholesky_solve(chol, b):
-    """Solves A x = b given chol(A) (lower)."""
-    y = jax.scipy.linalg.solve_triangular(chol, b, lower=True)
-    return jax.scipy.linalg.solve_triangular(
-        jnp.conjugate(jnp.swapaxes(chol, -2, -1)), y, lower=False)
+    """Solves A x = b given chol(A) (lower); unrolled elementwise
+    kernel for m <= 4 (see utils.linalg)."""
+    return cholesky_solve(chol, b)
 
 
 def lmmse_matrix(h, s=None, precision=None):
@@ -38,12 +38,12 @@ def lmmse_matrix(h, s=None, precision=None):
     if s is not None:
         s = jnp.asarray(s, cdtype)
         hhs = jnp.matmul(h, jnp.conjugate(jnp.swapaxes(h, -2, -1))) + s
-        chol = jnp.linalg.cholesky(hhs)
+        chol = batched_cholesky(hhs)
         g_t = _cholesky_solve(chol, h)
         return jnp.conjugate(jnp.swapaxes(g_t, -2, -1))
     eye = expand_to_rank(jnp.eye(h.shape[-1], dtype=cdtype), h.ndim, 0)
     hhs = jnp.matmul(jnp.conjugate(jnp.swapaxes(h, -2, -1)), h) + eye
-    chol = jnp.linalg.cholesky(hhs)
+    chol = batched_cholesky(hhs)
     return _cholesky_solve(chol, jnp.conjugate(jnp.swapaxes(h, -2, -1)))
 
 
@@ -103,4 +103,61 @@ def mf_equalizer(y, h, s, precision=None):
     err = eye - gh
     err_cov = jnp.matmul(err, jnp.conjugate(jnp.swapaxes(err, -2, -1)))
     no_eff = jnp.abs(jnp.diagonal(err_cov + gsg, axis1=-2, axis2=-1))
+    return x_hat, no_eff
+
+
+def lmmse_planes(y, h, s):
+    """Plane-based LMMSE equalization (TPU layout: tiny matrix axes
+    unrolled as Python lists, RE/batch axes stay in the arrays).
+
+    Same algebra as :func:`lmmse_equalizer` with
+    ``whiten_interference=True``: whiten by chol(S), then the stable
+    form G = (H^H H + I)^{-1} H^H with the unbiased diag scaling.
+
+    Parameters: y - list[m] of complex planes; h - list[m][k];
+    s - list[m][m] (Hermitian). Returns (x_hat list[k] complex planes,
+    no_eff list[k] real planes).
+    """
+    from ..utils.linalg import (plane_cholesky, plane_forward_solve,
+                                plane_backward_solve_adj)
+    m, k = len(h), len(h[0])
+    chol_s = plane_cholesky(s)
+    yw = plane_forward_solve(chol_s, [[y[i]] for i in range(m)])
+    hw = plane_forward_solve(chol_s, h)
+
+    one = jnp.ones_like(jnp.real(hw[0][0]))
+    a = [[None] * k for _ in range(k)]
+    for i in range(k):
+        for j in range(i, k):
+            acc = jnp.conjugate(hw[0][i]) * hw[0][j]
+            for p in range(1, m):
+                acc = acc + jnp.conjugate(hw[p][i]) * hw[p][j]
+            if i == j:
+                acc = acc + one.astype(acc.dtype)
+            a[i][j] = acc
+            if i != j:
+                a[j][i] = jnp.conjugate(acc)
+    chol_a = plane_cholesky(a)
+
+    rhs = [[None] for _ in range(k)]
+    for i in range(k):
+        acc = jnp.conjugate(hw[0][i]) * yw[0][0]
+        for p in range(1, m):
+            acc = acc + jnp.conjugate(hw[p][i]) * yw[p][0]
+        rhs[i][0] = acc
+    z = plane_backward_solve_adj(chol_a,
+                                 plane_forward_solve(chol_a, rhs))
+
+    # diag(A^{-1}) via A X = I, column by column
+    zero = jnp.zeros_like(a[0][0])
+    eye_cols = [[zero if i != j else (one.astype(zero.dtype))
+                 for j in range(k)] for i in range(k)]
+    ainv = plane_backward_solve_adj(chol_a,
+                                    plane_forward_solve(chol_a,
+                                                        eye_cols))
+    x_hat, no_eff = [], []
+    for i in range(k):
+        d = jnp.real(one - ainv[i][i])
+        x_hat.append(z[i][0] / d.astype(z[i][0].dtype))
+        no_eff.append(1 / d - 1)
     return x_hat, no_eff

@@ -42,6 +42,83 @@ class OFDMDetector(Block):
         # order
         data_ind = np.argsort(mask_flat, axis=-1, kind="stable")
         self._data_ind = data_ind[..., :num_data_symbols]
+        self._build_extract_layout(mask)
+
+    # One-hot matrices above this element count fall back to the
+    # gather path (memory guard for very large grids).
+    _ONEHOT_BUDGET = 2**25
+
+    def _build_extract_layout(self, mask):
+        """TPU fast path for data-RE extraction: per OFDM symbol the
+        data REs are pulled out with a one-hot [eff, eff] matmul
+        (MXU) instead of a minor-axis gather, keeping the batch dim
+        leading throughout.  Exact in f32 (each output is a single
+        input value).  ``mask``: [tx, s, sym, eff]."""
+        t, s, n_sym, eff = mask.shape
+        self._use_onehot_extract = (t * s * n_sym * eff * eff
+                                    <= self._ONEHOT_BUDGET)
+        if not self._use_onehot_extract:
+            return
+        onehot = np.zeros((t, s, n_sym, eff, eff), np.float32)
+        counts = np.zeros((t, s, n_sym), np.int64)
+        for i in range(t):
+            for j in range(s):
+                for y in range(n_sym):
+                    d_sc = np.where(mask[i, j, y] == 0)[0]
+                    onehot[i, j, y, d_sc, np.arange(len(d_sc))] = 1.
+                    counts[i, j, y] = len(d_sc)
+        self._extract_onehot = onehot
+        self._extract_counts = counts
+
+    def _extract_datasymbols_onehot(self, z):
+        """z: [b, rx, sym, eff, s_rx] or [..., d]; returns
+        [b, tx, s_tx, n_data(, d)] (flattened over d for "bit")."""
+        from jax import lax
+        sm = self._stream_management
+        rank_extended = z.ndim < 6
+        z = expand_to_rank(z, 6, -1)  # [b, rx, sym, eff, s_rx, d]
+        b = z.shape[0]
+        d = z.shape[-1]
+        n_sym, eff = z.shape[2], z.shape[3]
+        # -> [b, rx, s_rx, d, sym, eff]: batch stays leading, eff
+        # stays minor (lane-friendly)
+        z = jnp.transpose(z, (0, 1, 4, 5, 2, 3))
+        z = jnp.reshape(z, (b, -1, d, n_sym, eff))  # [b, rx*s_rx, ...]
+        z = jnp.take(z, jnp.asarray(sm.stream_ind), axis=1)
+        z = jnp.reshape(z, (b, sm.num_tx, sm.num_streams_per_tx,
+                            d, n_sym, eff))
+        is_complex = jnp.iscomplexobj(z)
+        outs = []
+        for i in range(sm.num_tx):
+            for j in range(sm.num_streams_per_tx):
+                m = jnp.asarray(self._extract_onehot[i, j])
+                zs = z[:, i, j]  # [b, d, sym, eff]
+
+                def mm(x):
+                    return jnp.einsum(
+                        "bdyf,yfg->bdyg", x, m,
+                        precision=lax.Precision.HIGHEST)
+
+                if is_complex:
+                    slots = lax.complex(mm(jnp.real(zs)),
+                                        mm(jnp.imag(zs)))
+                else:
+                    slots = mm(zs)
+                parts = [slots[:, :, y, :int(self._extract_counts[i, j, y])]
+                         for y in range(n_sym)
+                         if int(self._extract_counts[i, j, y]) > 0]
+                outs.append(jnp.concatenate(parts, axis=-1)
+                            if len(parts) > 1 else parts[0])
+        out = jnp.stack(outs, axis=1)  # [b, t*s, d, n_data]
+        n_data = out.shape[-1]
+        out = jnp.reshape(out, (b, sm.num_tx, sm.num_streams_per_tx,
+                                d, n_data))
+        out = jnp.swapaxes(out, -2, -1)  # [b, t, s, n_data, d]
+        if self._output == "bit":
+            out = flatten_dims(out, 2, 3)
+        elif rank_extended:
+            out = out[..., 0]
+        return out
 
     def _preprocess_inputs(self, y, h_hat, err_var, no):
         sm = self._stream_management
@@ -87,7 +164,44 @@ class OFDMDetector(Block):
         s = s_inf + s_no.astype(self.cdtype) + s_csi.astype(self.cdtype)
         return y_dt, h_desired, s
 
+    def _extract_stream_planes(self, planes):
+        """Data-RE extraction for plane-based detectors.
+
+        ``planes``: list over rx*streams_per_rx (row-major (rx, s_rx))
+        of [b, sym, eff] arrays.  Returns [b, tx, s_tx, n_data]
+        (requires the one-hot layout; callers check
+        ``_use_onehot_extract``)."""
+        from jax import lax
+        sm = self._stream_management
+        ordered = [planes[int(i)] for i in np.asarray(sm.stream_ind)]
+        outs = []
+        for i in range(sm.num_tx):
+            for j in range(sm.num_streams_per_tx):
+                m = jnp.asarray(self._extract_onehot[i, j])
+                zs = ordered[i * sm.num_streams_per_tx + j]
+
+                def mm(x):
+                    return jnp.einsum(
+                        "byf,yfg->byg", x, m,
+                        precision=lax.Precision.HIGHEST)
+
+                if jnp.iscomplexobj(zs):
+                    slots = lax.complex(mm(jnp.real(zs)),
+                                        mm(jnp.imag(zs)))
+                else:
+                    slots = mm(zs)
+                parts = [slots[:, y, :int(self._extract_counts[i, j, y])]
+                         for y in range(zs.shape[1])
+                         if int(self._extract_counts[i, j, y]) > 0]
+                outs.append(jnp.concatenate(parts, axis=-1)
+                            if len(parts) > 1 else parts[0])
+        out = jnp.stack(outs, axis=1)
+        return jnp.reshape(out, (out.shape[0], sm.num_tx,
+                                 sm.num_streams_per_tx, -1))
+
     def _extract_datasymbols(self, z):
+        if self._use_onehot_extract:
+            return self._extract_datasymbols_onehot(z)
         sm = self._stream_management
         rank_extended = z.ndim < 6
         z = expand_to_rank(z, 6, -1)

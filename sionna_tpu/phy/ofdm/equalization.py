@@ -52,7 +52,15 @@ class OFDMEqualizer(OFDMDetector):
 
 
 class LMMSEEqualizer(OFDMEqualizer):
-    """LMMSE OFDM equalizer (reference equalization.py:277)."""
+    """LMMSE OFDM equalizer (reference equalization.py:277).
+
+    TPU fast path: for small antenna/stream counts the per-RE
+    matrices are unrolled into "planes" (see utils.linalg) so the
+    whole equalizer is elementwise VPU work plus one one-hot MXU
+    extraction - no [..., m, m] tensors with lane-padding waste."""
+
+    # plane path unrolls matrix loops; cap the unroll size
+    _PLANE_MAX_DIM = 8
 
     def __init__(self, resource_grid, stream_management,
                  whiten_interference=True, precision=None, **kwargs):
@@ -62,6 +70,71 @@ class LMMSEEqualizer(OFDMEqualizer):
                                    precision=precision)
         super().__init__(eq, resource_grid, stream_management,
                          precision=precision, **kwargs)
+        self._whiten_interference = whiten_interference
+
+    def call(self, y, h_hat, err_var, no):
+        sm = self._stream_management
+        if (self._whiten_interference and self._use_onehot_extract
+                and jnp.asarray(y).shape[2] <= self._PLANE_MAX_DIM
+                and sm.num_streams_per_rx <= self._PLANE_MAX_DIM):
+            return self._call_planes(y, h_hat, err_var, no)
+        return super().call(y, h_hat, err_var, no)
+
+    def _call_planes(self, y, h_hat, err_var, no):
+        from ..mimo.equalization import lmmse_planes
+        sm = self._stream_management
+        y = jnp.asarray(y, self.cdtype)
+        h_hat = jnp.asarray(h_hat, self.cdtype)
+        err_var = jnp.asarray(err_var, self.rdtype)
+        no = jnp.asarray(no, self.rdtype)
+
+        y_eff = self._removed_nulled_scs(y)  # [b, rx, rxa, sym, eff]
+        ev = jnp.broadcast_to(err_var, h_hat.shape)
+        m = y_eff.shape[2]
+        t_s = sm.num_streams_per_tx
+        no3 = jnp.broadcast_to(expand_to_rank(no, 3, -1),
+                               y.shape[:3])  # [b, rx, rxa]
+
+        des = [int(q) for q in sm.detection_desired_ind]
+        und = [int(q) for q in sm.detection_undesired_ind]
+
+        x_planes = [None] * (sm.num_rx * sm.num_streams_per_rx)
+        ne_planes = [None] * (sm.num_rx * sm.num_streams_per_rx)
+        for r in range(sm.num_rx):
+            per_rx = sm.num_tx * t_s
+            d_pairs = [(int(q) % per_rx // t_s, int(q) % t_s)
+                       for q in des if int(q) // per_rx == r]
+            u_pairs = [(int(q) % per_rx // t_s, int(q) % t_s)
+                       for q in und if int(q) // per_rx == r]
+            h_pl = [[h_hat[:, r, i, t, s] for (t, s) in d_pairs]
+                    for i in range(m)]
+            y_pl = [y_eff[:, r, i] for i in range(m)]
+            # csi error power summed over every stream, on the diag
+            csi = [jnp.sum(ev[:, r, i], axis=(1, 2))
+                   if ev.shape[3] * ev.shape[4] > 1
+                   else ev[:, r, i, 0, 0]
+                   for i in range(m)]
+            s_pl = [[None] * m for _ in range(m)]
+            for i in range(m):
+                for j in range(i, m):
+                    acc = jnp.zeros_like(y_pl[0])
+                    for (t, s) in u_pairs:
+                        acc = acc + (h_hat[:, r, i, t, s]
+                                     * jnp.conjugate(h_hat[:, r, j, t, s]))
+                    if i == j:
+                        diag = no3[:, r, i][:, None, None] + csi[i]
+                        acc = acc + diag.astype(acc.dtype)
+                    s_pl[i][j] = acc
+                    if i != j:
+                        s_pl[j][i] = jnp.conjugate(acc)
+            x_r, ne_r = lmmse_planes(y_pl, h_pl, s_pl)
+            for k_r in range(len(x_r)):
+                x_planes[r * sm.num_streams_per_rx + k_r] = x_r[k_r]
+                ne_planes[r * sm.num_streams_per_rx + k_r] = ne_r[k_r]
+
+        x_hat = self._extract_stream_planes(x_planes)
+        no_eff = self._extract_stream_planes(ne_planes)
+        return x_hat, no_eff
 
 
 class ZFEqualizer(OFDMEqualizer):

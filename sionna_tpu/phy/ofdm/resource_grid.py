@@ -10,6 +10,7 @@ the host, so the whole grid assembly is one ``take_along_axis``.
 import numpy as np
 
 import jax.numpy as jnp
+from jax import lax
 
 from ..block import Object, Block
 from .pilot_pattern import (PilotPattern, EmptyPilotPattern,
@@ -196,6 +197,10 @@ class ResourceGridMapper(Block):
     [batch, num_tx, num_streams_per_tx, num_ofdm_symbols, fft_size].
     """
 
+    # One-hot matrices above this element count fall back to the
+    # gather path (memory guard for very large grids).
+    _ONEHOT_BUDGET = 2**25
+
     def __init__(self, resource_grid, precision=None, **kwargs):
         super().__init__(precision=precision, **kwargs)
         self._resource_grid = resource_grid
@@ -217,6 +222,85 @@ class ResourceGridMapper(Block):
                 src[i, j] = s.reshape(rg_type.shape[2:])
         self._src_idx = src.reshape(rg.num_tx,
                                     rg.num_streams_per_tx, -1)
+        self._build_onehot_layout(rg, rg_type, n_data)
+
+    def _build_onehot_layout(self, rg, rg_type, n_data):
+        """TPU fast path: grid assembly as one batched MXU matmul.
+
+        Data (and pilot) symbols fill the grid in resource-element
+        scan order, so within one OFDM symbol the data sources are a
+        contiguous range of the data vector and the pilot sources a
+        contiguous range of the pilot vector.  Per (tx, stream, sym)
+        the two static slices are concatenated, zero-padded to
+        ``fft_size`` and pushed through a per-symbol one-hot
+        [fft, fft] matrix.  One-hot matmuls are exact in f32 (each
+        output is a single input value), so this is numerically
+        identical to the gather path while running on the MXU instead
+        of the (slow) minor-axis gather unit.
+        """
+        t, s, n_sym, fft = rg_type.shape
+        self._use_onehot = (t * s * n_sym * fft * fft
+                            <= self._ONEHOT_BUDGET)
+        if not self._use_onehot:
+            return
+        # ranges[t][s][sym] = (d0, d1, p0, p1)
+        ranges = np.zeros((t, s, n_sym, 4), np.int64)
+        onehot = np.zeros((t, s, n_sym, fft, fft), np.float32)
+        for i in range(t):
+            for j in range(s):
+                d_seen = p_seen = 0
+                for y in range(n_sym):
+                    row = rg_type[i, j, y]
+                    d_sc = np.where(row == 0)[0]
+                    p_sc = np.where(row == 1)[0]
+                    nd, npil = len(d_sc), len(p_sc)
+                    ranges[i, j, y] = (d_seen, d_seen + nd,
+                                       p_seen, p_seen + npil)
+                    onehot[i, j, y, np.arange(nd), d_sc] = 1.
+                    onehot[i, j, y, nd + np.arange(npil), p_sc] = 1.
+                    d_seen += nd
+                    p_seen += npil
+        self._onehot = onehot
+        self._ranges = ranges
+
+    def _call_onehot(self, x, pilots):
+        """x: [batch, tx, s, n_data] cdtype; pilots: [tx, s, n_pil]."""
+        rg = self._resource_grid
+        t, s = rg.num_tx, rg.num_streams_per_tx
+        n_sym, fft = rg.num_ofdm_symbols, rg.fft_size
+        batch = x.shape[0]
+        pilots = jnp.broadcast_to(pilots, (batch,) + tuple(pilots.shape))
+        # assemble [batch, tx, s, n_sym, fft] per-symbol source rows
+        rows = []
+        for i in range(t):
+            for j in range(s):
+                sym_rows = []
+                for y in range(n_sym):
+                    d0, d1, p0, p1 = (int(v)
+                                      for v in self._ranges[i, j, y])
+                    parts = []
+                    if d1 > d0:
+                        parts.append(x[:, i, j, d0:d1])
+                    if p1 > p0:
+                        parts.append(pilots[:, i, j, p0:p1])
+                    used = (d1 - d0) + (p1 - p0)
+                    if used < fft:
+                        parts.append(jnp.zeros((batch, fft - used),
+                                               x.dtype))
+                    sym_rows.append(jnp.concatenate(parts, axis=-1)
+                                    if len(parts) > 1 else parts[0])
+                rows.append(jnp.stack(sym_rows, axis=1))
+        # [batch, tx*s, n_sym, fft]
+        src = jnp.stack(rows, axis=1)
+        src = jnp.reshape(src, (batch, t, s, n_sym, fft))
+        m = jnp.asarray(self._onehot.reshape(t, s, n_sym, fft, fft))
+        # HIGHEST keeps the one-hot matmul bit-exact in f32 (bf16x3
+        # splitting); DEFAULT would truncate operands to bf16.
+        grid_re = jnp.einsum("btsyj,tsyjf->btsyf", jnp.real(src), m,
+                             precision=lax.Precision.HIGHEST)
+        grid_im = jnp.einsum("btsyj,tsyjf->btsyf", jnp.imag(src), m,
+                             precision=lax.Precision.HIGHEST)
+        return lax.complex(grid_re, grid_im).astype(x.dtype)
 
     def call(self, inputs):
         rg = self._resource_grid
@@ -224,6 +308,8 @@ class ResourceGridMapper(Block):
         batch = x.shape[0]
         pilots = jnp.asarray(self._resource_grid.pilot_pattern.pilots,
                              self.cdtype)  # [tx,s,P]
+        if self._use_onehot:
+            return self._call_onehot(x, pilots)
         pilots = jnp.broadcast_to(pilots,
                                   (batch,) + tuple(pilots.shape))
         zero = jnp.zeros(x.shape[:3] + (1,), self.cdtype)
