@@ -12,6 +12,7 @@ SCL, with ``lax.top_k`` path pruning). No host fallback at any size.
 """
 
 import numbers
+import warnings
 
 import numpy as np
 
@@ -176,6 +177,173 @@ def _scl_decode_single(llr_ch, frozen_mask_np, n, list_size):
     return u, pm
 
 
+# ------------------------------------------------------------------ #
+# Fast SSC / SSCL: trace-time tree recursion with node shortcuts.
+#
+# The decoding tree is pruned host-side (the frozen set is static):
+# rate-0 (all-frozen), repetition, and - for SC - rate-1 and SPC
+# subtrees are decoded in one vectorized step instead of descending
+# bit by bit.  Rate-0/rep shortcuts use the node-level exact path
+# metrics of Hashemi et al. (same equations as the reference's
+# fast-SCL, decoding.py:525,547), so the surviving list is the same
+# as per-bit decoding.  The recursion unrolls at trace time into a
+# static XLA graph; everything is batch-native ([batch, list, width]
+# tensors), removing the per-bit fori_loop and its masked full-depth
+# LLR propagation.
+# ------------------------------------------------------------------ #
+
+def _polar_transform_bits(x):
+    """u = x F^{(x)m} over GF(2) (involutive); x [..., w] in {0,1}."""
+    w = x.shape[-1]
+    d = w // 2
+    while d >= 1:
+        xr = jnp.reshape(x, x.shape[:-1] + (w // (2 * d), 2, d))
+        left = jnp.mod(xr[..., 0, :] + xr[..., 1, :], 2)
+        x = jnp.reshape(
+            jnp.concatenate([left[..., None, :], xr[..., 1:2, :]],
+                            axis=-2), x.shape)
+        d //= 2
+    return x
+
+
+def _fast_sc_decode_batch(llr_ch, frozen_mask_np, n,
+                          use_spc=False):
+    """Batched fast-SSC decode. llr_ch [B, n] classic convention.
+    Returns hard u decisions [B, n] - identical to bit-by-bit SC.
+
+    Rate-0/rate-1/repetition shortcuts are exact for any check-node f
+    with sign(f(a,b)) = sign(a)sign(b), so for the exact boxplus used
+    here.  The classic SPC shortcut (hard decisions + parity flip at
+    the least-reliable bit) is exact only for MIN-SUM f; under exact
+    boxplus it changes ~1% of decisions, so it is off by default and
+    SPC subtrees descend normally."""
+    frozen = np.asarray(frozen_mask_np) > 0
+    dtype = llr_ch.dtype
+
+    def decode(s, lo, llr):
+        w = 1 << s
+        sub = frozen[lo:lo + w]
+        if sub.all():                      # rate-0
+            return jnp.zeros_like(llr)
+        if not sub.any():                  # rate-1
+            return (llr < 0).astype(dtype)
+        if sub[:-1].all() and not sub[-1]:  # repetition
+            bit = (jnp.sum(llr, -1, keepdims=True) < 0).astype(dtype)
+            return jnp.broadcast_to(bit, llr.shape)
+        if use_spc and sub[0] and not sub[1:].any():  # SPC
+            hard = (llr < 0).astype(dtype)
+            parity = jnp.mod(jnp.sum(hard, -1, keepdims=True), 2)
+            amin = jnp.argmin(jnp.abs(llr), -1)
+            flip = jax.nn.one_hot(amin, w, dtype=dtype) * parity
+            return jnp.mod(hard + flip, 2)
+        half = w // 2
+        a, b = llr[..., :half], llr[..., half:]
+        bl = decode(s - 1, lo, _boxplus(a, b))
+        br = decode(s - 1, lo + half, _g_op(a, b, bl))
+        return jnp.concatenate([jnp.mod(bl + br, 2), br], axis=-1)
+
+    beta = decode(_sc_stages(n), 0, llr_ch)
+    return _polar_transform_bits(beta)
+
+
+def _fast_scl_decode_batch(llr_ch, frozen_mask_np, n, list_size,
+                           use_fast=True):
+    """Batched fast-SSCL decode (rate-0 / repetition pruning with
+    exact node path metrics). llr_ch [B, n] classic convention.
+    Returns (u [B, L, n], pm [B, L])."""
+    m = _sc_stages(n)
+    bsz = llr_ch.shape[0]
+    lsz = list_size
+    dtype = llr_ch.dtype
+    frozen = np.asarray(frozen_mask_np) > 0
+
+    state = {
+        "pm": jnp.broadcast_to(
+            jnp.where(jnp.arange(lsz) == 0, 0., 1e9
+                      ).astype(dtype)[None], (bsz, lsz)),
+        "llr": {s: jnp.zeros((bsz, lsz, 1 << s), dtype)
+                for s in range(m)},
+        "bl": {s: jnp.zeros((bsz, lsz, 1 << s), dtype)
+               for s in range(m)},
+        "bb": {s: jnp.zeros((bsz, lsz, 1 << s), dtype)
+               for s in range(m + 1)},
+    }
+    # channel LLRs are identical across paths; never permuted
+    root_llr = jnp.broadcast_to(llr_ch[:, None, :], (bsz, lsz, n))
+
+    def clip(x):
+        return jnp.clip(x, -_LLR_MAX, _LLR_MAX)
+
+    def fork(pm0, pm1):
+        """2L -> L path selection; permutes every live buffer.
+        Candidate layout [u=0 paths ; u=1 paths] matches the per-bit
+        decoder's info_case for identical tie-breaking."""
+        pm_all = jnp.concatenate([pm0, pm1], axis=-1)  # [B, 2L]
+        neg, idx = jax.lax.top_k(-pm_all, lsz)
+        parents = jnp.mod(idx, lsz)
+        bits = (idx >= lsz).astype(dtype)
+        state["pm"] = -neg
+        for key in ("llr", "bl", "bb"):
+            for s2 in state[key]:
+                state[key][s2] = jnp.take_along_axis(
+                    state[key][s2], parents[..., None], axis=1)
+        return bits
+
+    def node_llr(s):
+        return root_llr if s == m else state["llr"][s]
+
+    def decode(s, lo):
+        """Decodes the node of width 2^s at bit offset lo; its LLR is
+        in state['llr'][s] (root_llr at s==m); leaves the node
+        codeword in state['bb'][s]."""
+        w = 1 << s
+        llr = node_llr(s)
+        sub = frozen[lo:lo + w]
+        if use_fast and sub.all():         # rate-0 (Hashemi eq. 26)
+            state["pm"] = state["pm"] + jnp.sum(
+                jax.nn.softplus(-clip(llr)), axis=-1)
+            state["bb"][s] = jnp.zeros_like(llr)
+            return
+        if s == 0:
+            l0 = llr[..., 0]
+            pm0 = state["pm"] + jax.nn.softplus(-clip(l0))
+            if sub[0]:
+                state["pm"] = pm0
+                state["bb"][0] = jnp.zeros_like(llr)
+            else:
+                pm1 = state["pm"] + jax.nn.softplus(clip(l0))
+                bits = fork(pm0, pm1)
+                state["bb"][0] = bits[..., None]
+            return
+        if use_fast and sub[:-1].all() and not sub[-1]:
+            # repetition (Hashemi eq. 31)
+            pm0 = state["pm"] + jnp.sum(jax.nn.softplus(-clip(llr)),
+                                        axis=-1)
+            pm1 = state["pm"] + jnp.sum(jax.nn.softplus(clip(llr)),
+                                        axis=-1)
+            bits = fork(pm0, pm1)
+            state["bb"][s] = jnp.broadcast_to(bits[..., None],
+                                              (bsz, lsz, w))
+            return
+        half = w // 2
+        llr = node_llr(s)
+        state["llr"][s - 1] = _boxplus(llr[..., :half],
+                                       llr[..., half:])
+        decode(s - 1, lo)
+        state["bl"][s - 1] = state["bb"][s - 1]
+        llr = node_llr(s)  # re-read: forks permuted the buffers
+        state["llr"][s - 1] = _g_op(llr[..., :half], llr[..., half:],
+                                    state["bl"][s - 1])
+        decode(s - 1, lo + half)
+        bl, br = state["bl"][s - 1], state["bb"][s - 1]
+        state["bb"][s] = jnp.concatenate([jnp.mod(bl + br, 2), br],
+                                         axis=-1)
+
+    decode(m, 0)
+    u = _polar_transform_bits(state["bb"][m])
+    return u, state["pm"]
+
+
 class PolarSCDecoder(Block):
     """Successive cancellation decoder (reference decoding.py:15).
 
@@ -223,9 +391,8 @@ class PolarSCDecoder(Block):
         in_shape = llr_ch.shape
         llr = jnp.reshape(llr_ch, (-1, self._n))
         llr = -llr  # logits -> classic LLRs
-        u_hat = jax.vmap(
-            lambda l: _sc_decode_single(l, self._frozen_mask,
-                                        self._n))(llr)
+        # batch-native fast-SSC (identical decisions to bit-by-bit SC)
+        u_hat = _fast_sc_decode_batch(llr, self._frozen_mask, self._n)
         u_out = jnp.take(u_hat, jnp.asarray(self._info_pos), axis=-1)
         return jnp.reshape(u_out, tuple(in_shape[:-1]) + (self._k,))
 
@@ -243,8 +410,17 @@ class PolarSCLDecoder(Block):
                  cpu_only=False, use_scatter=False, ind_iil_inv=None,
                  return_crc_status=False, precision=None, **kwargs):
         super().__init__(precision=precision, **kwargs)
-        # use_hybrid_sc/use_fast_scl/cpu_only/use_scatter are accepted
-        # for API parity; the TPU implementation needs none of them.
+        # use_fast_scl selects the pruned-tree decoder (rate-0/rep
+        # node shortcuts, exact path metrics - same surviving list).
+        # use_hybrid_sc/cpu_only/use_scatter are TF-graph workarounds
+        # in the reference with no TPU counterpart; they are accepted
+        # for API parity and do not change the output.
+        if use_hybrid_sc or cpu_only or use_scatter:
+            warnings.warn(
+                "use_hybrid_sc/cpu_only/use_scatter have no effect in "
+                "the TPU implementation (output is unchanged)",
+                stacklevel=2)
+        self._use_fast_scl = bool(use_fast_scl)
         n = int(n)
         frozen_pos = np.asarray(frozen_pos)
         if np.log2(n) != int(np.log2(n)):
@@ -324,14 +500,21 @@ class PolarSCLDecoder(Block):
         in_shape = llr_ch.shape
         llr = -jnp.reshape(llr_ch, (-1, self._n))
 
-        def decode_one(l):
-            u_list, pm = _scl_decode_single(l, self._frozen_mask,
-                                            self._n, self._list_size)
+        if self._use_fast_scl:
+            u_list, pm = _fast_scl_decode_batch(
+                llr, self._frozen_mask, self._n, self._list_size)
             u_cand = jnp.take(u_list, jnp.asarray(self._info_pos),
                               axis=-1)
-            return self._select_path(u_cand, pm)
+            u_hat, crc_status = jax.vmap(self._select_path)(u_cand, pm)
+        else:
+            def decode_one(l):
+                u_list, pm = _scl_decode_single(
+                    l, self._frozen_mask, self._n, self._list_size)
+                u_cand = jnp.take(u_list, jnp.asarray(self._info_pos),
+                                  axis=-1)
+                return self._select_path(u_cand, pm)
 
-        u_hat, crc_status = jax.vmap(decode_one)(llr)
+            u_hat, crc_status = jax.vmap(decode_one)(llr)
         u_hat = jnp.reshape(u_hat, tuple(in_shape[:-1]) + (self._k,))
         if self._return_crc_status:
             crc_status = jnp.reshape(crc_status, in_shape[:-1])

@@ -33,3 +33,8 @@ def set_seed():
     config.seed = 42
     config.precision = "single"
     yield
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running tests (opt in with -m slow)")

@@ -130,3 +130,64 @@ def test_dense_polar():
     assert gm.shape == (16, 32)
     assert pcm.shape == (16, 32)
     assert np.sum((pcm @ gm.T) % 2) == 0
+
+
+def test_fast_ssc_matches_per_bit_sc():
+    """The pruned-tree SC decoder must reproduce the per-bit SC
+    decisions exactly (rate-0/rate-1/rep shortcuts are exact for the
+    sign-multiplicative boxplus)."""
+    import jax
+    import jax.numpy as jnp
+    from sionna_tpu.phy.fec.polar.decoding import (
+        _fast_sc_decode_batch, _sc_decode_single)
+    from sionna_tpu.phy.fec.polar.utils import generate_5g_ranking
+    rng = np.random.default_rng(0)
+    for (k, n) in [(32, 64), (140, 256)]:
+        frozen_pos, _ = generate_5g_ranking(k, n)
+        mask = np.zeros(n, np.float32)
+        mask[frozen_pos] = 1
+        llr = jnp.asarray(rng.normal(scale=2, size=(64, n)) + 1.0,
+                          jnp.float32)
+        fast = _fast_sc_decode_batch(llr, mask, n)
+        naive = jax.vmap(lambda l: _sc_decode_single(l, mask, n))(llr)
+        assert float(jnp.mean((fast == naive).astype(jnp.float32))) \
+            == 1.0
+
+
+def test_fast_sscl_matches_per_bit_scl():
+    """Fast-SSCL (rate-0/rep pruning, Hashemi node metrics) keeps the
+    same surviving list as per-bit SCL: identical best paths, path
+    metrics equal up to summation-order rounding."""
+    import jax
+    import jax.numpy as jnp
+    from sionna_tpu.phy.fec.polar.decoding import (
+        _fast_scl_decode_batch, _scl_decode_single)
+    from sionna_tpu.phy.fec.polar.utils import generate_5g_ranking
+    rng = np.random.default_rng(1)
+    k, n, lsz = 64, 128, 8
+    frozen_pos, _ = generate_5g_ranking(k, n)
+    mask = np.zeros(n, np.float32)
+    mask[frozen_pos] = 1
+    llr = jnp.asarray(rng.normal(scale=2, size=(64, n)) + 1.0,
+                      jnp.float32)
+    uf, pmf = _fast_scl_decode_batch(llr, mask, n, lsz)
+    un, pmn = jax.vmap(
+        lambda l: _scl_decode_single(l, mask, n, lsz))(llr)
+    bf = jnp.take_along_axis(uf, jnp.argmin(pmf, -1)[:, None, None],
+                             1)[:, 0]
+    bn = jnp.take_along_axis(un, jnp.argmin(pmn, -1)[:, None, None],
+                             1)[:, 0]
+    assert float(jnp.mean((bf == bn).astype(jnp.float32))) > 0.999
+    assert float(jnp.max(jnp.abs(jnp.sort(pmf, -1)
+                                 - jnp.sort(pmn, -1)))) < 1e-3
+
+
+def test_scl_unsupported_flags_warn():
+    import warnings as _w
+    from sionna_tpu.phy.fec.polar import PolarSCLDecoder
+    from sionna_tpu.phy.fec.polar.utils import generate_5g_ranking
+    frozen_pos, _ = generate_5g_ranking(32, 64)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        PolarSCLDecoder(frozen_pos, 64, use_hybrid_sc=True)
+    assert any("no effect" in str(r.message) for r in rec)
