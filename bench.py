@@ -1,50 +1,147 @@
 """Benchmark driver for Sionna-TPU.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ...,
-"vs_baseline": N}.
+Default (`python bench.py`) runs the FLAGSHIP workload and prints ONE
+JSON line {"metric", "value", "unit", "vs_baseline"} for the driver.
+`python bench.py --all` runs every BASELINE.md config (one JSON line
+each) and writes the collection to BENCH_ALL.json;
+`python bench.py NAME` runs a single named bench.
 
-Headline workload (BASELINE.md): coded-AWGN link Monte-Carlo info-bit
-throughput - 16-QAM over AWGN with 5G LDPC n=2048 rate 1/2 BP-20
-(min-sum), batch 2000. The reference's best published number for this
-workload is 10.995 Mb/s (graph mode, RTX A6000;
-tutorials/phy/Sionna_tutorial_part1.ipynb cell 63). vs_baseline is the
-ratio of our info-bit throughput to that number.
+Flagship workload = the reference's own headline benchmark
+(`/root/reference/tutorials/phy/Discover_Sionna.ipynb` cells 31/33/39):
+TDL-A (100 ns, 3.5 GHz, 3 km/h) SISO link, 256-FFT / 14-symbol
+resource grid with Kronecker pilots on symbols [2, 11], 16-QAM,
+rate-1/2 5G LDPC (n=12288), RowColumn interleaver, LS estimation with
+nearest-neighbor interpolation, LMMSE equalization, APP demapping,
+BP-20 boxplus decoding.  The reference publishes 37.48 Mb/s for this
+exact link in XLA mode on an RTX A6000; vs_baseline is measured
+info-bit throughput / 37.48e6.
 
-Measurement: Monte-Carlo iterations are fused on-device with
-``lax.scan`` and every timed call fetches its scalar error count to
-the host, so the timing reflects sustained synchronous throughput
-(async dispatch pipelining is excluded).
+Other baselines: the coded-AWGN link's only published reference
+number is 10.995 Mb/s in *graph* mode (Sionna_tutorial_part1.ipynb
+cell 63; no XLA figure exists for that workload — the same notebook
+measures XLA ~5.8x graph on a comparable link, so treat the ratio
+accordingly).  Configs without any published reference number report
+vs_baseline = null.
 
-TPU constraint: only integer/real scalars are fetched from device (the
-axon backend cannot transfer complex arrays device-to-host).
+Measurement methodology (see docs in the verify skill): Monte-Carlo
+iterations are fused on-device with ``lax.scan``; every timed call
+fetches a scalar to the host (async dispatch through the axon tunnel
+makes trailing block_until_ready unreliable); one untimed post-compile
+call absorbs execution-path warmup.  Only integer/real scalars are
+fetched (the axon backend cannot transfer complex arrays).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-BASELINE_BITS_PER_S = 10.995e6
+FLAGSHIP_BASELINE_BITS_PER_S = 37.48e6   # reference XLA, A6000
+CODED_AWGN_GRAPH_BASELINE = 10.995e6     # reference graph, A6000
 
 
-def bench_coded_awgn():
+def _timed_calls(chunk, args_fn, n_calls):
+    """Times host-synced calls of a jitted scalar-returning chunk."""
+    int(chunk(*args_fn(0)))          # compile + sync
+    int(chunk(*args_fn(999)))        # post-compile warmup
+    t0 = time.perf_counter()
+    acc = 0
+    for r in range(n_calls):
+        acc += int(chunk(*args_fn(1000 + r)))
+    return time.perf_counter() - t0, acc
+
+
+# ----------------------------------------------------------------- #
+# 1. Flagship: TDL-A MIMO-OFDM coded link (reference notebook config)
+# ----------------------------------------------------------------- #
+
+def bench_flagship(batch=2048, n_scan=2, n_calls=3):
+    from sionna_tpu.phy import BinarySource, Mapper, Demapper
+    from sionna_tpu.phy.mimo import StreamManagement
+    from sionna_tpu.phy.ofdm import (ResourceGrid, ResourceGridMapper,
+                                     LSChannelEstimator, LMMSEEqualizer)
+    from sionna_tpu.phy.channel import OFDMChannel
+    from sionna_tpu.phy.channel.tr38901 import TDL
+    from sionna_tpu.phy.fec.ldpc import LDPC5GEncoder, LDPC5GDecoder
+    from sionna_tpu.phy.fec.interleaving import (RowColumnInterleaver,
+                                                 Deinterleaver)
+    from sionna_tpu.phy.utils import ebnodb2no
+
+    nbps, r = 4, 0.5
+    rg = ResourceGrid(num_ofdm_symbols=14, fft_size=256,
+                      subcarrier_spacing=30e3, num_tx=1,
+                      num_streams_per_tx=1, cyclic_prefix_length=16,
+                      pilot_pattern="kronecker",
+                      pilot_ofdm_symbol_indices=[2, 11])
+    sm = StreamManagement(np.array([[1]]), 1)
+    n = int(rg.num_data_symbols) * nbps
+    k = int(n * r)
+    src = BinarySource()
+    enc = LDPC5GEncoder(k, n)
+    il = RowColumnInterleaver(row_depth=nbps)
+    dil = Deinterleaver(il)
+    mapper = Mapper("qam", nbps)
+    rg_mapper = ResourceGridMapper(rg)
+    tdl = TDL("A", 100e-9, 3.5e9, min_speed=3, max_speed=3)
+    channel = OFDMChannel(tdl, rg, normalize_channel=True)
+    est = LSChannelEstimator(rg, interpolation_type="nn")
+    equ = LMMSEEqualizer(rg, sm)
+    demapper = Demapper("app", "qam", nbps)
+    dec = LDPC5GDecoder(enc, hard_out=True, cn_update="boxplus",
+                        num_iter=20, engine="pallas")
+
+    @jax.jit
+    def chunk(ebno_db, key):
+        no = ebnodb2no(ebno_db, nbps, r, rg)
+
+        def body(carry, i):
+            kk = jax.random.fold_in(key, i)
+            k1, k2 = jax.random.split(kk)
+            b = src([batch, 1, 1, k], key=k1)
+            x_rg = rg_mapper(mapper(il(enc(b))))
+            y = channel(x_rg, no, key=k2)
+            h_hat, err_var = est(y, no)
+            x_hat, no_eff = equ(y, h_hat, err_var, no)
+            b_hat = dec(dil(demapper(x_hat, no_eff)))
+            e = jnp.sum((b != b_hat).astype(jnp.int32))
+            return carry + e.astype(carry.dtype), None
+
+        tot, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(n_scan))
+        return tot
+
+    ebno = jnp.asarray(5.0, jnp.float32)
+    key = jax.random.PRNGKey(0)
+    dt, errs = _timed_calls(
+        chunk, lambda i: (ebno, jax.random.fold_in(key, i)), n_calls)
+    assert errs > 0
+    tput = n_calls * n_scan * batch * k / dt
+    return [{
+        "metric": "flagship_tdla_mimo_ofdm_info_bit_throughput",
+        "value": round(tput / 1e6, 3),
+        "unit": "Mbit/s",
+        "vs_baseline": round(tput / FLAGSHIP_BASELINE_BITS_PER_S, 3),
+    }]
+
+
+# ----------------------------------------------------------------- #
+# 2a. Coded AWGN LDPC link (reference tutorial part-1 config)
+# ----------------------------------------------------------------- #
+
+def bench_coded_awgn(batch=2000, n_scan=10, n_calls=4):
     from sionna_tpu.phy import BinarySource, Mapper, Demapper, AWGN
     from sionna_tpu.phy.fec.ldpc import LDPC5GEncoder, LDPC5GDecoder
     from sionna_tpu.phy.utils import ebnodb2no
 
-    nbps = 4
-    k, n = 1024, 2048
-    batch_size = 2000
-    n_scan = 10          # MC iterations fused per device call
-    n_calls = 4          # timed host-synced calls
-
+    nbps, k, n = 4, 1024, 2048
     src = BinarySource()
     enc = LDPC5GEncoder(k, n, num_bits_per_symbol=nbps)
     mapper = Mapper("qam", nbps)
     demapper = Demapper("app", "qam", nbps)
-    dec = LDPC5GDecoder(enc, num_iter=20, cn_update="minsum")
+    # reference defaults: boxplus-phi, 20 iterations
+    dec = LDPC5GDecoder(enc, num_iter=20, engine="pallas")
     awgn = AWGN()
 
     @jax.jit
@@ -54,41 +151,283 @@ def bench_coded_awgn():
         def body(carry, i):
             kk = jax.random.fold_in(key, i)
             k1, k2 = jax.random.split(kk)
-            b = src([batch_size, k], key=k1)
-            c = enc(b)
-            y = awgn(mapper(c), no, key=k2)
+            b = src([batch, k], key=k1)
+            y = awgn(mapper(enc(b)), no, key=k2)
             b_hat = dec(demapper(y, no))
-            return carry + jnp.sum((b != b_hat).astype(jnp.int64)), None
+            e = jnp.sum((b != b_hat).astype(jnp.int32))
+            return carry + e.astype(carry.dtype), None
 
-        tot, _ = jax.lax.scan(body, jnp.int64(0), jnp.arange(n_scan))
-        return tot.astype(jnp.int32)
+        tot, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(n_scan))
+        return tot
 
-    key = jax.random.PRNGKey(0)
     ebno = jnp.asarray(4.0, jnp.float32)
-    int(chunk(ebno, key))  # compile + sync
-    # A second untimed call absorbs the post-compile execution-path
-    # warmup (observed ~1 s on the first run after compilation)
-    int(chunk(ebno, jax.random.fold_in(key, 999)))
+    key = jax.random.PRNGKey(0)
+    dt, errs = _timed_calls(
+        chunk, lambda i: (ebno, jax.random.fold_in(key, i)), n_calls)
+    assert errs > 0
+    tput = n_calls * n_scan * batch * k / dt
+    return [{
+        "metric": "coded_awgn_ldpc_mc_info_bit_throughput",
+        "value": round(tput / 1e6, 3),
+        "unit": "Mbit/s",
+        "vs_baseline": round(tput / CODED_AWGN_GRAPH_BASELINE, 3),
+    }]
 
+
+# ----------------------------------------------------------------- #
+# 2b. Uncoded 16-QAM AWGN sweep (BASELINE config 1)
+# ----------------------------------------------------------------- #
+
+def bench_uncoded_awgn(batch=8192, nbits=1024, n_scan=20, n_calls=4):
+    from sionna_tpu.phy import BinarySource, Mapper, Demapper, AWGN
+    from sionna_tpu.phy.utils import ebnodb2no
+
+    nbps = 4
+    src = BinarySource()
+    mapper = Mapper("qam", nbps)
+    demapper = Demapper("app", "qam", nbps, hard_out=True)
+    awgn = AWGN()
+
+    @jax.jit
+    def chunk(ebno_db, key):
+        no = ebnodb2no(ebno_db, nbps, 1.0)
+
+        def body(carry, i):
+            kk = jax.random.fold_in(key, i)
+            k1, k2 = jax.random.split(kk)
+            b = src([batch, nbits], key=k1)
+            y = awgn(mapper(b), no, key=k2)
+            b_hat = demapper(y, no)
+            e = jnp.sum((b != b_hat).astype(jnp.int32))
+            return carry + e.astype(carry.dtype), None
+
+        tot, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(n_scan))
+        return tot
+
+    ebno = jnp.asarray(10.0, jnp.float32)
+    key = jax.random.PRNGKey(0)
+    dt, errs = _timed_calls(
+        chunk, lambda i: (ebno, jax.random.fold_in(key, i)), n_calls)
+    assert errs > 0
+    tput = n_calls * n_scan * batch * nbits / dt
+    return [{
+        "metric": "uncoded_16qam_awgn_bit_throughput",
+        "value": round(tput / 1e6, 3),
+        "unit": "Mbit/s",
+        "vs_baseline": None,
+    }]
+
+
+# ----------------------------------------------------------------- #
+# 2c. Polar SC / SCL coded throughput (BASELINE config 2)
+# ----------------------------------------------------------------- #
+
+def bench_polar(batch=512, n_scan=2, n_calls=3):
+    from sionna_tpu.phy import BinarySource, Mapper, Demapper, AWGN
+    from sionna_tpu.phy.fec.polar import Polar5GEncoder, Polar5GDecoder
+    from sionna_tpu.phy.utils import ebnodb2no
+
+    k, n = 512, 1024
+    src = BinarySource()
+    mapper = Mapper("qam", 2)
+    demapper = Demapper("app", "qam", 2)
+    awgn = AWGN()
+    out = []
+    for dec_type, list_size in (("SC", None), ("SCL", 8)):
+        enc = Polar5GEncoder(k, n)
+        kwargs = {} if list_size is None else {"list_size": list_size}
+        dec = Polar5GDecoder(enc, dec_type=dec_type, **kwargs)
+
+        @jax.jit
+        def chunk(ebno_db, key, enc=enc, dec=dec):
+            no = ebnodb2no(ebno_db, 2, k / n)
+
+            def body(carry, i):
+                kk = jax.random.fold_in(key, i)
+                k1, k2 = jax.random.split(kk)
+                u = src([batch, k], key=k1)
+                y = awgn(mapper(enc(u)), no, key=k2)
+                u_hat = dec(demapper(y, no))
+                e = jnp.sum((u != u_hat).astype(jnp.int32))
+                return carry + e.astype(carry.dtype), None
+
+            tot, _ = jax.lax.scan(body, jnp.int32(0),
+                                  jnp.arange(n_scan))
+            return tot
+
+        ebno = jnp.asarray(1.0, jnp.float32)
+        key = jax.random.PRNGKey(0)
+        dt, errs = _timed_calls(
+            chunk, lambda i: (ebno, jax.random.fold_in(key, i)),
+            n_calls)
+        assert errs > 0
+        tput = n_calls * n_scan * batch * k / dt
+        name = dec_type.lower() + ("" if list_size is None
+                                   else f"{list_size}")
+        out.append({
+            "metric": f"polar5g_{name}_coded_info_bit_throughput",
+            "value": round(tput / 1e6, 3),
+            "unit": "Mbit/s",
+            "vs_baseline": None,
+        })
+    return out
+
+
+# ----------------------------------------------------------------- #
+# 3. RT: path solve rays/s + radio map (BASELINE config 4)
+# ----------------------------------------------------------------- #
+
+def bench_rt():
+    from sionna_tpu.rt import (load_scene, Transmitter, Receiver,
+                               PlanarArray, PathSolver, RadioMapSolver)
+
+    scene = load_scene("simple_street_canyon", frequency=3.5e9)
+    scene.tx_array = PlanarArray(1, 1, pattern="iso", polarization="V")
+    scene.rx_array = PlanarArray(1, 1, pattern="iso", polarization="V")
+    scene.add(Transmitter("tx", [-20., 0., 10.]))
+    scene.add(Receiver("rx", [20., 5., 1.5]))
+
+    solver = PathSolver()
+    max_depth, samples = 3, 200_000
+    solver(scene, max_depth=max_depth, samples_per_src=1000)  # warmup
     t0 = time.perf_counter()
-    errs = 0
-    for r in range(n_calls):
-        errs += int(chunk(ebno, jax.random.fold_in(key, 1000 + r)))
+    paths = solver(scene, max_depth=max_depth,
+                   samples_per_src=samples)
+    a, tau = paths.cir(out_type="numpy")
     dt = time.perf_counter() - t0
-    info_bits = n_calls * n_scan * batch_size * k
-    assert errs > 0  # sanity: the link is actually simulating
-    return info_bits / dt
+    rays_per_s = samples * (max_depth + 1) / dt
+
+    rm_solver = RadioMapSolver()
+    rm_size = (200, 200)
+    rm = rm_solver(scene, cell_size=(1., 1.), size=rm_size,
+                   center=(0., 0., 1.5), max_depth=2,
+                   samples_per_src=100_000)
+    t0 = time.perf_counter()
+    rm = rm_solver(scene, cell_size=(1., 1.), size=rm_size,
+                   center=(0., 0., 1.5), max_depth=2,
+                   samples_per_src=100_000)
+    np.asarray(rm.path_gain)
+    dt_rm = time.perf_counter() - t0
+    return [{
+        "metric": "rt_path_solver_ray_segments_per_s",
+        "value": round(rays_per_s / 1e6, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": None,
+    }, {
+        "metric": "rt_radio_map_cells_per_s",
+        "value": round(rm_size[0] * rm_size[1] / dt_rm / 1e3, 3),
+        "unit": "kcells/s",
+        "vs_baseline": None,
+    }]
+
+
+# ----------------------------------------------------------------- #
+# 4. SYS: multi-cell slot loop (BASELINE config 5)
+# ----------------------------------------------------------------- #
+
+def bench_sys(n_slots=50):
+    from sionna_tpu.sys import (PHYAbstraction,
+                                OuterLoopLinkAdaptation,
+                                gen_hexgrid_topology)
+
+    ut_loc, bs_loc, *_ = gen_hexgrid_topology(
+        batch_size=1, num_rings=1, num_ut_per_sector=4,
+        scenario="umi")
+    num_ut = ut_loc.shape[1]
+    d = np.linalg.norm(np.asarray(ut_loc)[0][:, None]
+                       - np.asarray(bs_loc)[0][None], axis=-1)
+    serving = d.min(axis=1)
+    interf = d.sum(axis=1) - serving
+    sinr_base = (interf / serving) ** 2 / bs_loc.shape[1]
+
+    phy_abs = PHYAbstraction()
+    olla = OuterLoopLinkAdaptation(phy_abs, num_ut, bler_target=0.1)
+    n_re = np.full((num_ut,), 1000)
+    rng = np.random.default_rng(0)
+
+    def slot(s, harq):
+        sinr_eff = sinr_base * rng.exponential(1., num_ut)
+        mcs = olla(n_re, harq_feedback=harq, sinr_eff=sinr_eff)
+        bits, harq_j, *_ = phy_abs(
+            jnp.asarray(np.asarray(mcs)),
+            sinr_eff=jnp.asarray(sinr_eff),
+            num_allocated_re=jnp.asarray(n_re),
+            key=jax.random.PRNGKey(100 + s))
+        return np.asarray(harq_j), int(jnp.sum(bits))
+
+    harq, _ = slot(0, None)  # warmup/compile
+    t0 = time.perf_counter()
+    tot_bits = 0
+    for s in range(1, n_slots + 1):
+        harq, bits = slot(s, harq)
+        tot_bits += bits
+    dt = time.perf_counter() - t0
+    assert tot_bits > 0
+    return [{
+        "metric": "sys_multicell_slots_per_s",
+        "value": round(n_slots / dt, 3),
+        "unit": "slots/s",
+        "vs_baseline": None,
+    }]
+
+
+# ----------------------------------------------------------------- #
+# 5. LDPC decoder-only iteration rate
+# ----------------------------------------------------------------- #
+
+def bench_ldpc_iters(batch=2048, num_iter=20, n_calls=3):
+    from sionna_tpu.phy.fec.ldpc import LDPC5GEncoder, LDPC5GDecoder
+
+    k, n = 6144, 12288
+    enc = LDPC5GEncoder(k, n)
+    dec = LDPC5GDecoder(enc, hard_out=True, cn_update="boxplus",
+                        num_iter=num_iter, engine="pallas")
+    key = jax.random.PRNGKey(0)
+    llr = jax.random.normal(key, (batch, n), jnp.float32) * 4.0
+
+    @jax.jit
+    def chunk(llr, eps):
+        return jnp.sum(dec(llr + eps).astype(jnp.int32))
+
+    dt, _ = _timed_calls(
+        chunk, lambda i: (llr, jnp.float32(1e-6 * i)), n_calls)
+    return [{
+        "metric": "ldpc_bp_codeword_iterations_per_s",
+        "value": round(n_calls * batch * num_iter / dt / 1e3, 3),
+        "unit": "kiter/s",
+        "vs_baseline": None,
+    }]
+
+
+BENCHES = {
+    "flagship": bench_flagship,
+    "coded_awgn": bench_coded_awgn,
+    "uncoded_awgn": bench_uncoded_awgn,
+    "polar": bench_polar,
+    "rt": bench_rt,
+    "sys": bench_sys,
+    "ldpc_iters": bench_ldpc_iters,
+}
 
 
 def main():
-    throughput = bench_coded_awgn()
-    result = {
-        "metric": "coded_awgn_ldpc_mc_info_bit_throughput",
-        "value": round(throughput / 1e6, 3),
-        "unit": "Mbit/s",
-        "vs_baseline": round(throughput / BASELINE_BITS_PER_S, 3),
-    }
-    print(json.dumps(result))
+    arg = sys.argv[1] if len(sys.argv) > 1 else "flagship"
+    if arg == "--all":
+        results = []
+        for name, fn in BENCHES.items():
+            try:
+                rs = fn()
+            except Exception as ex:  # keep going; record the failure
+                rs = [{"metric": name, "error":
+                       f"{type(ex).__name__}: {ex}"}]
+            for r in rs:
+                print(json.dumps(r), flush=True)
+            results.extend(rs)
+        with open("BENCH_ALL.json", "w") as f:
+            json.dump(results, f, indent=1)
+        return
+    for r in BENCHES[arg]():
+        print(json.dumps(r))
 
 
 if __name__ == "__main__":

@@ -241,8 +241,11 @@ class MCSDecoderNR(MCSDecoder):
     mcs_category: 0 for PUSCH, 1 for PDSCH."""
 
     def call(self, mcs_index, mcs_table_index, mcs_category, *,
-             check_index_validity=True, transform_precoding=False,
+             check_index_validity=True, transform_precoding=True,
              pi2bpsk=False, verbose=False, **kwargs):
+        # transform_precoding defaults to True, matching the
+        # reference's MCSDecoderNR (nr/utils.py:307) - the shipped
+        # BLER tables were generated under this default.
         mod, rate = decode_mcs_index(
             np.asarray(mcs_index),
             table_index=np.asarray(mcs_table_index),
