@@ -37,4 +37,23 @@ def set_seed():
 
 def pytest_configure(config):
     config.addinivalue_line(
-        "markers", "slow: long-running tests (opt in with -m slow)")
+        "markers", "slow: long-running tests (opt in with -m slow, "
+                   "--runslow, or RUN_SLOW=1)")
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="run tests marked slow")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Slow tests are opt-in: deselected unless --runslow / RUN_SLOW=1
+    or an explicit -m expression mentioning 'slow' is given."""
+    if (config.getoption("--runslow")
+            or os.environ.get("RUN_SLOW", "") == "1"
+            or "slow" in (config.getoption("-m") or "")):
+        return
+    skip = pytest.mark.skip(reason="slow: opt in with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
