@@ -19,3 +19,4 @@ from .misc import (
     SingleLinkChannel)
 from .sim import sim_ber, init_multihost
 from .plotting import plot_ber, PlotBER
+from .profiling import Profiler

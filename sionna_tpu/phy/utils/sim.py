@@ -188,7 +188,8 @@ def sim_ber(mc_fun, ebno_dbs, batch_size, max_mc_iter,
             forward_keyboard_interrupt=True,
             callback=None,
             checkpoint_path=None,
-            precision=None):
+            precision=None,
+            profiler=None):
     """Simulates until target errors or ``max_mc_iter`` per SNR point.
 
     Returns ``(ber, bler)`` arrays of the same length as ``ebno_dbs``.
@@ -199,6 +200,11 @@ def sim_ber(mc_fun, ebno_dbs, batch_size, max_mc_iter,
     persisted after every chunk so an interrupted sweep resumes where
     it stopped (completed points are skipped, partial points continue
     from their recorded iteration count).
+
+    ``profiler``: optional :class:`~sionna_tpu.phy.utils.Profiler`;
+    records per-phase wall times ("compile" for first-trace chunk
+    calls, "mc_chunk" for steady-state device execution) and emits
+    xprof trace annotations when the profiler captures a trace.
     """
     # pylint: disable=unused-argument
     if graph_mode not in (None, "graph", "xla"):
@@ -277,6 +283,7 @@ def sim_ber(mc_fun, ebno_dbs, batch_size, max_mc_iter,
     root_key = config.next_key()
     stop_sweep = False
     interrupted = False
+    _compiled = set()   # chunk-length keys that have been traced
 
     try:
         for i in range(num_points):
@@ -296,8 +303,16 @@ def sim_ber(mc_fun, ebno_dbs, batch_size, max_mc_iter,
                 # (point, iteration) pairs can collide
                 key = jax.random.fold_in(
                     jax.random.fold_in(root_key, i), iters_done)
-                be, ble, nb, nblk = fn(
-                    jnp.asarray(ebno_dbs[i], jnp.float32), key)
+                if profiler is not None:
+                    name = "mc_chunk" if n in _compiled else "compile"
+                    _compiled.add(n)
+                    with profiler.phase(name):
+                        be, ble, nb, nblk = jax.block_until_ready(
+                            fn(jnp.asarray(ebno_dbs[i], jnp.float32),
+                               key))
+                else:
+                    be, ble, nb, nblk = fn(
+                        jnp.asarray(ebno_dbs[i], jnp.float32), key)
                 bit_errors[i] += int(be)
                 block_errors[i] += int(ble)
                 nb_bits[i] += int(nb)

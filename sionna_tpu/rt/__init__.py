@@ -6,7 +6,8 @@ polarized field transfer) is dense batched JAX that jits onto TPU;
 scene assembly and candidate-sequence bookkeeping run host-side."""
 
 from .scene import (Scene, Transmitter, Receiver, Camera, load_scene,
-                    scene)
+                    scene, make_city)
+from .diffraction import extract_wedges
 from .antenna_array import PlanarArray, antenna_pattern
 from .radio_materials import RadioMaterial, ITU_MATERIALS
 from .solver import PathSolver, Paths

@@ -9,9 +9,6 @@ engine as the path solver — one batched computation over
 
 import numpy as np
 
-import jax.numpy as jnp
-
-from ..phy.constants import PI
 from .antenna_array import PlanarArray
 from .scene import Receiver
 from .solver import PathSolver
@@ -35,14 +32,14 @@ class RadioMap:
     def rss(self):
         """Received signal strength [W] per cell and TX"""
         p_w = 10. ** ((self._tx_powers_dbm - 30.) / 10.)
-        return self.path_gain * p_w[:, None, None]
+        return np.asarray(self.path_gain) * p_w[:, None, None]
 
     @property
     def sinr(self):
         """SINR per cell with the strongest TX as the serving one"""
         rss = self.rss
-        total = jnp.sum(rss, axis=0, keepdims=True)
-        best = jnp.max(rss, axis=0, keepdims=True)
+        total = np.sum(rss, axis=0, keepdims=True)
+        best = np.max(rss, axis=0, keepdims=True)
         interference = total - best
         return (best / (interference + self._noise_power_w))[0]
 
@@ -73,7 +70,9 @@ class RadioMapSolver:
     def __call__(self, scene, cell_size=(5., 5.), size=None,
                  center=None, height=1.5, max_depth=2,
                  samples_per_src=20000, los=True,
-                 specular_reflection=True, noise_power_w=1e-13):
+                 specular_reflection=True, diffraction=False,
+                 diffuse_reflection=False, diffuse_samples=1024,
+                 max_num_wedges=2000, noise_power_w=1e-13):
         # Measurement grid on a horizontal plane at ``height``
         tris = scene.triangles
         if size is None:
@@ -115,7 +114,11 @@ class RadioMapSolver:
             paths = solver(scene, max_depth=max_depth,
                            samples_per_src=samples_per_src,
                            los=los,
-                           specular_reflection=specular_reflection)
+                           specular_reflection=specular_reflection,
+                           diffraction=diffraction,
+                           diffuse_reflection=diffuse_reflection,
+                           diffuse_samples=diffuse_samples,
+                           max_num_wedges=max_num_wedges)
         finally:
             scene.receivers.clear()
             scene.receivers.update(saved_rx)
@@ -123,10 +126,11 @@ class RadioMapSolver:
             scene.tx_array = saved_tx_array
 
         # Path gain per (cell, tx): coherent sum over antenna pairs is
-        # 1x1 here; aggregate incoherently over paths
-        a = paths.a[:, 0, :, 0, :]             # [cells, tx, paths]
-        gain = jnp.sum(jnp.abs(a) ** 2, axis=-1)
-        gain = jnp.transpose(gain)             # [tx, cells]
+        # 1x1 here; aggregate incoherently over paths (host math:
+        # Paths fields are NumPy)
+        a = np.asarray(paths.a)[:, 0, :, 0, :]  # [cells, tx, paths]
+        gain = np.sum(np.abs(a) ** 2, axis=-1)
+        gain = np.transpose(gain)              # [tx, cells]
         gain = gain.reshape(gain.shape[0], ny, nx)
 
         tx_powers = np.array(

@@ -14,6 +14,7 @@ ships binary assets out-of-tree and is not bundled; load it from an
 OBJ export via ``load_scene(path)``.
 """
 
+import copy
 import os
 
 import numpy as np
@@ -22,7 +23,7 @@ from ..phy.constants import SPEED_OF_LIGHT
 from .radio_materials import RadioMaterial, ITU_MATERIALS
 
 __all__ = ["Scene", "Transmitter", "Receiver", "Camera", "load_scene",
-           "scene"]
+           "scene", "make_city"]
 
 
 class _RadioDevice:
@@ -82,7 +83,10 @@ class Scene:
             material_names = ["itu_concrete"] * n_tri
         self._tri_material_names = list(material_names)
         for m in set(self._tri_material_names):
-            self._materials[m] = (ITU_MATERIALS[m]
+            # per-scene material instances: mutating e.g. the
+            # scattering_coefficient must not leak into other scenes
+            # through the shared ITU preset registry
+            self._materials[m] = (copy.copy(ITU_MATERIALS[m])
                                   if m in ITU_MATERIALS
                                   else RadioMaterial(m))
         self.name = name
@@ -162,7 +166,7 @@ class Scene:
         """Assigns ``material_name`` to all or selected triangles."""
         if material_name not in self._materials:
             self._materials[material_name] = (
-                ITU_MATERIALS[material_name]
+                copy.copy(ITU_MATERIALS[material_name])
                 if material_name in ITU_MATERIALS
                 else RadioMaterial(material_name))
         ids = range(self.num_triangles) if triangle_ids is None \
@@ -284,6 +288,76 @@ def _make_etoile():
                  name="etoile")
 
 
+def _quad_grid(p0, p1, p2, p3, s):
+    """Planar quad p0-p1-p2-p3 subdivided into an s x s grid
+    (2*s^2 triangles) via bilinear interpolation."""
+    p0, p1, p2, p3 = (np.asarray(p, np.float64)
+                      for p in (p0, p1, p2, p3))
+    u = np.linspace(0., 1., s + 1)
+    v = np.linspace(0., 1., s + 1)
+    uu, vv = np.meshgrid(u, v, indexing="ij")     # [s+1, s+1]
+    pts = ((1 - uu)[..., None] * (1 - vv)[..., None] * p0
+           + uu[..., None] * (1 - vv)[..., None] * p1
+           + uu[..., None] * vv[..., None] * p2
+           + (1 - uu)[..., None] * vv[..., None] * p3)
+    a = pts[:-1, :-1]
+    b = pts[1:, :-1]
+    c = pts[1:, 1:]
+    d = pts[:-1, 1:]
+    t1 = np.stack([a, b, c], axis=2).reshape(-1, 3, 3)
+    t2 = np.stack([a, c, d], axis=2).reshape(-1, 3, 3)
+    return np.concatenate([t1, t2], axis=0)
+
+
+def make_city(nx=6, ny=6, subdiv=1, block=20., street=12.,
+              height=15., frequency=3.5e9, ground_material=
+              "itu_medium_dry_ground", wall_material="itu_concrete"):
+    """Procedural Manhattan-grid city: ``nx * ny`` box buildings on a
+    ground plane, every face subdivided into ``subdiv^2`` quads.
+    Triangle count = 2*(nx*ny*5*subdiv^2 + subdiv^2); e.g.
+    make_city(10, 10, 10) -> 100,200 triangles (city-scale stress
+    geometry standing in for the upstream binary munich asset,
+    SURVEY.md 2.12)."""
+    pitch = block + street
+    w = nx * pitch + street
+    h = ny * pitch + street
+    x0, y0 = -w / 2., -h / 2.
+    tris = [_quad_grid([x0, y0, 0.], [x0 + w, y0, 0.],
+                       [x0 + w, y0 + h, 0.], [x0, y0 + h, 0.],
+                       subdiv)]
+    mats = [ground_material] * tris[0].shape[0]
+    rng = np.random.default_rng(7)
+    for i in range(nx):
+        for j in range(ny):
+            bx = x0 + street + i * pitch
+            by = y0 + street + j * pitch
+            bz = height * (0.6 + 0.8 * rng.random())
+            x1b, y1b = bx + block, by + block
+            quads = [
+                # roof
+                ([bx, by, bz], [bx + block, by, bz],
+                 [x1b, y1b, bz], [bx, y1b, bz]),
+                # south / north
+                ([bx, by, 0.], [x1b, by, 0.],
+                 [x1b, by, bz], [bx, by, bz]),
+                ([bx, y1b, 0.], [bx, y1b, bz],
+                 [x1b, y1b, bz], [x1b, y1b, 0.]),
+                # west / east
+                ([bx, by, 0.], [bx, by, bz],
+                 [bx, y1b, bz], [bx, y1b, 0.]),
+                ([x1b, by, 0.], [x1b, y1b, 0.],
+                 [x1b, y1b, bz], [x1b, by, bz]),
+            ]
+            for q in quads:
+                t = _quad_grid(*q, subdiv)
+                tris.append(t)
+                mats += [wall_material] * t.shape[0]
+    tris = np.concatenate(tris, axis=0)
+    return Scene(triangles=tris, material_names=mats,
+                 frequency=frequency,
+                 name=f"city_{nx}x{ny}_s{subdiv}")
+
+
 _BUILTIN_SCENES = {
     "simple_reflector": _make_simple_reflector,
     "double_reflector": _make_double_reflector,
@@ -291,6 +365,7 @@ _BUILTIN_SCENES = {
     "box": _make_box,
     "simple_street_canyon": _make_simple_street_canyon,
     "etoile": _make_etoile,
+    "city_grid": make_city,
     "empty": lambda: Scene(name="empty"),
 }
 

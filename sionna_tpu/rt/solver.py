@@ -14,12 +14,15 @@ Design for TPU/XLA:
   small-matmul ops that XLA fuses.
 """
 
+import hashlib
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 from ..phy.constants import PI, SPEED_OF_LIGHT
+from .diffraction import extract_wedges, utd_coefficients
 
 __all__ = ["PathSolver", "Paths"]
 
@@ -32,6 +35,71 @@ _EPS = 1e-5
 def _normalize(v, axis=-1):
     n = jnp.linalg.norm(v, axis=axis, keepdims=True)
     return v / jnp.maximum(n, 1e-30)
+
+
+def _host_real_dtype():
+    """Real dtype for host->device geometry: float64 on CPU (tight
+    test tolerances), float32 on TPU (f64 host transfers are
+    unsupported by the backend; f32 phases are mod-2pi-reduced in
+    ``_phase_exp`` so accuracy holds for km-scale paths)."""
+    return np.float64 if jax.default_backend() == "cpu" \
+        else np.float32
+
+
+def _host_int_dtype():
+    return np.int64 if jax.default_backend() == "cpu" else np.int32
+
+
+_JIT_CACHE = {}
+_JIT_CACHE_MAX = 64
+
+
+def _run_jitted(cache_key, fn, *args):
+    """Runs ``fn(*args)`` under jit and fetches the resulting dict to
+    host NumPy.  Complex outputs are split into (re, im) float pairs
+    inside the program and re-joined on host — complex arrays cannot
+    cross the TPU transfer boundary.  This also turns each solver
+    stage into ONE fused XLA program instead of hundreds of eager
+    dispatches (the TPU-native hot path).
+
+    ``cache_key`` must fingerprint every value ``fn`` closes over
+    (geometry, materials, sequences, device metadata): compiled
+    executables are reused for identical keys, so repeated solves of
+    the same configuration skip retracing entirely."""
+    jitted = _JIT_CACHE.get(cache_key)
+    if jitted is None:
+        def split(*a):
+            out = fn(*a)
+            flat = {}
+            for k, v in out.items():
+                if jnp.iscomplexobj(v):
+                    flat[k] = (jnp.real(v), jnp.imag(v))
+                else:
+                    flat[k] = v
+            return flat
+        jitted = jax.jit(split)
+        if len(_JIT_CACHE) >= _JIT_CACHE_MAX:
+            _JIT_CACHE.pop(next(iter(_JIT_CACHE)))
+        _JIT_CACHE[cache_key] = jitted
+    raw = jitted(*args)
+    host = {}
+    for k, v in raw.items():
+        if isinstance(v, tuple):
+            host[k] = (np.asarray(v[0])
+                       + 1j * np.asarray(v[1])).astype(np.complex64)
+        else:
+            host[k] = np.asarray(v)
+    return host
+
+
+def _phase_exp(length, lam, sign=-1.):
+    """exp(sign * 2j pi length / lam) as complex64.
+
+    The angle is reduced mod 2 pi in the input (float64) precision
+    before the complex exponential so long paths keep accurate phases
+    while no complex128 ever materializes (unsupported on TPU)."""
+    ang = jnp.mod(length / lam, 1.) * (2. * PI)
+    return jnp.exp(1j * (sign * ang).astype(jnp.float32))
 
 
 def moller_trumbore(orig, dirs, tri):
@@ -66,7 +134,7 @@ def nearest_hit(orig, dirs, tri, max_elems=16_000_000):
     if num_rays * num_tri <= max_elems:
         t, hit = moller_trumbore(orig, dirs, tri)
         t = jnp.where(hit, t, jnp.inf)
-        idx = jnp.argmin(t, axis=-1)
+        idx = jnp.argmin(t, axis=-1).astype(jnp.int32)
         t_min = jnp.take_along_axis(t, idx[:, None], axis=1)[:, 0]
         return t_min, idx, jnp.isfinite(t_min)
 
@@ -76,21 +144,21 @@ def nearest_hit(orig, dirs, tri, max_elems=16_000_000):
     tri_p = jnp.concatenate(
         [tri, jnp.zeros((pad, 3, 3), tri.dtype)], axis=0)
     tri_c = tri_p.reshape(n_chunks, chunk, 3, 3)
-    bases = jnp.arange(n_chunks) * chunk
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
 
     def body(carry, args):
         t_best, i_best = carry
         tri_chunk, base = args
         t, hit = moller_trumbore(orig, dirs, tri_chunk)
         t = jnp.where(hit, t, jnp.inf)
-        i_loc = jnp.argmin(t, axis=-1)
+        i_loc = jnp.argmin(t, axis=-1).astype(jnp.int32)
         t_loc = jnp.take_along_axis(t, i_loc[:, None], axis=1)[:, 0]
         better = t_loc < t_best
         return (jnp.where(better, t_loc, t_best),
                 jnp.where(better, base + i_loc, i_best)), None
 
-    init = (jnp.full((num_rays,), jnp.inf),
-            jnp.zeros((num_rays,), jnp.int64))
+    init = (jnp.full((num_rays,), jnp.inf, tri.dtype),
+            jnp.zeros((num_rays,), jnp.int32))
     (t_min, idx), _ = jax.lax.scan(body, init, (tri_c, bases))
     return t_min, idx, jnp.isfinite(t_min)
 
@@ -109,14 +177,15 @@ def any_blocking_hit(orig, dirs, tri, excl_ids=None,
     tri_p = jnp.concatenate(
         [tri, jnp.zeros((pad, 3, 3), tri.dtype)], axis=0)
     tri_c = tri_p.reshape(n_chunks, chunk, 3, 3)
-    bases = jnp.arange(n_chunks) * chunk
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
 
     def body(blocked, args):
         tri_chunk, base = args
         t, hit = moller_trumbore(orig, dirs, tri_chunk)
         b = hit & (t > 1e-4) & (t < 1. - 1e-4)
         if excl_ids is not None:
-            gid = base + jnp.arange(tri_chunk.shape[0])     # [chunk]
+            gid = base + jnp.arange(tri_chunk.shape[0],
+                                    dtype=jnp.int32)        # [chunk]
             excl = jnp.any(
                 gid[None, None, :] == excl_ids[:, :, None], axis=1)
             b &= ~excl
@@ -159,6 +228,9 @@ def _trace(tri, normals, orig, dirs, depth):
     _, ids = jax.lax.scan(body, (orig, dirs, active0), None,
                           length=depth)
     return jnp.transpose(ids)                          # [R, depth]
+
+
+_TRACE_JIT = jax.jit(_trace, static_argnums=(4,))
 
 
 def _fibonacci_sphere(n):
@@ -210,7 +282,11 @@ class Paths:
     a : [num_rx, num_rx_ant, num_tx, num_tx_ant, num_paths] complex
         path coefficients (without Doppler)
     tau : [num_rx, num_tx, num_paths] delays [s]
-    """
+
+    Fields are host NumPy arrays: the solver's device stages return
+    complex results as (re, im) float pairs because complex arrays
+    cannot cross the TPU transfer boundary; CIR assembly is cheap
+    host math."""
 
     def __init__(self, a, tau, valid, theta_t, phi_t, theta_r, phi_r,
                  doppler, interactions):
@@ -237,38 +313,50 @@ class Paths:
         num_paths])."""
         if sampling_frequency is None:
             sampling_frequency = 1.
-        t = jnp.arange(num_time_steps) / sampling_frequency
-        phase = jnp.exp(
-            2j * PI * self.doppler[..., None] * t)   # [rx,tx,P,T]
-        a = (self.a[..., None]
-             * phase[:, None, :, None, :, :])
-        tau = self.tau
+        t = np.arange(num_time_steps) / sampling_frequency
+        doppler = np.asarray(self.doppler)
+        phase = np.exp(2j * PI * doppler[..., None] * t)  # [rx,tx,P,T]
+        a = (np.asarray(self.a)[..., None]
+             * phase[:, None, :, None, :, :]).astype(np.complex64)
+        tau = np.asarray(self.tau)
+        valid = np.asarray(self.valid)
         if normalize_delays:
-            tau_min = jnp.min(
-                jnp.where(self.valid, tau, jnp.inf), axis=-1,
-                keepdims=True)
-            tau_min = jnp.where(jnp.isfinite(tau_min), tau_min, 0.)
-            tau = jnp.where(self.valid, tau - tau_min, tau)
+            tau_min = np.min(
+                np.where(valid, tau, np.inf), axis=-1, keepdims=True)
+            tau_min = np.where(np.isfinite(tau_min), tau_min, 0.)
+            tau = np.where(valid, tau - tau_min, tau)
         if out_type == "numpy":
-            return np.asarray(a), np.asarray(tau)
-        return a, tau
+            return a, tau
+        return jnp.asarray(a), jnp.asarray(
+            tau.astype(_host_real_dtype()))
 
 
 # ----------------------------------------------------------------------
 # Path solver
 # ----------------------------------------------------------------------
 class PathSolver:
-    """Computes specular propagation paths (LoS + up to ``max_depth``
-    reflections) between all scene transmitters and receivers.
+    """Computes propagation paths between all scene transmitters and
+    receivers: LoS, up to ``max_depth`` specular reflections, and
+    optionally first-order UTD wedge diffraction
+    (``diffraction=True``) and single-bounce diffuse scattering
+    (``diffuse_reflection=True``, requires materials with a nonzero
+    ``scattering_coefficient``).
 
-    Call: solver(scene, max_depth=3, max_num_paths_per_src=1000,
-    samples_per_src=10000) -> Paths.
+    Call: solver(scene, max_depth=3, max_num_paths_per_src=100000,
+    samples_per_src=20000, los=True, specular_reflection=True,
+    diffraction=False, diffuse_reflection=False,
+    diffuse_samples=4096, max_num_wedges=20000, seed=41) -> Paths.
     """
 
     def __call__(self, scene, max_depth=3,
                  max_num_paths_per_src=100000,
                  samples_per_src=20000, los=True,
-                 specular_reflection=True):
+                 specular_reflection=True,
+                 diffraction=False,
+                 diffuse_reflection=False,
+                 diffuse_samples=4096,
+                 max_num_wedges=20000,
+                 seed=41):
         tx_names = list(scene.transmitters)
         rx_names = list(scene.receivers)
         if not tx_names or not rx_names:
@@ -281,36 +369,44 @@ class PathSolver:
             raise ValueError(
                 "scene.tx_array and scene.rx_array must be set")
 
-        tri = jnp.asarray(scene.triangles)
+        rd = _host_real_dtype()
+        idt = _host_int_dtype()
+        tri = jnp.asarray(scene.triangles.astype(rd))
         has_geometry = scene.num_triangles > 0
         normals = _tri_normals(tri) if has_geometry else None
 
-        tx_pos = np.stack([t.position for t in txs])
-        rx_pos = np.stack([r.position for r in rxs])
+        tx_pos = np.stack([t.position for t in txs]).astype(rd)
+        rx_pos = np.stack([r.position for r in rxs]).astype(rd)
 
         # ------------------------------------------------------------
         # 1) Candidate reflection sequences via shoot-and-bounce
         # ------------------------------------------------------------
-        sequences = [np.zeros((1, 0), np.int64)] if los else []
+        sequences = [np.zeros((1, 0), idt)] if los else []
         if specular_reflection and has_geometry and max_depth > 0:
-            dirs = jnp.asarray(_fibonacci_sphere(samples_per_src))
-            seq_set = set()
+            dirs = jnp.asarray(
+                _fibonacci_sphere(samples_per_src).astype(rd))
+            trace_fn = _TRACE_JIT
+            rows = []
             for t in range(tx_pos.shape[0]):
                 orig = jnp.broadcast_to(jnp.asarray(tx_pos[t]),
                                         dirs.shape)
-                ids = np.asarray(_trace(tri, normals, orig, dirs,
-                                        max_depth))
-                for row in ids:
-                    for d in range(1, max_depth + 1):
-                        if row[d - 1] < 0:
-                            break
-                        seq_set.add(tuple(row[:d]))
-            seq_set = sorted(seq_set)[:max_num_paths_per_src]
-            by_len = {}
-            for s in seq_set:
-                by_len.setdefault(len(s), []).append(s)
-            for d in sorted(by_len):
-                sequences.append(np.asarray(by_len[d], np.int64))
+                rows.append(np.asarray(
+                    trace_fn(tri, normals, orig, dirs, max_depth)))
+            ids = np.concatenate(rows, axis=0)         # [R, depth]
+            # Vectorized prefix dedupe: unique length-d prefixes whose
+            # entries are all real hits, shortest depths first, capped
+            # at max_num_paths_per_src total.
+            budget = max_num_paths_per_src
+            for d in range(1, max_depth + 1):
+                if budget <= 0:
+                    break
+                pref = ids[:, :d]
+                pref = pref[np.all(pref >= 0, axis=1)]
+                if pref.shape[0] == 0:
+                    continue
+                uniq = np.unique(pref, axis=0)[:budget]
+                budget -= uniq.shape[0]
+                sequences.append(np.ascontiguousarray(uniq, idt))
 
         # ------------------------------------------------------------
         # 2) Image-method evaluation of every candidate
@@ -320,36 +416,127 @@ class PathSolver:
         eta_tri = np.array(
             [m.complex_relative_permittivity(freq)
              for m in scene.triangle_materials]
-            if has_geometry else [1. + 0j], np.complex128)
+            if has_geometry else [1. + 0j], np.complex64)
         scat_tri = np.array(
             [m.scattering_coefficient
              for m in scene.triangle_materials]
-            if has_geometry else [0.], np.float64)
+            if has_geometry else [0.], rd)
+        tx_j = jnp.asarray(tx_pos)
+        rx_j = jnp.asarray(rx_pos)
+        # eta/scat stay host NumPy, captured as trace-time constants:
+        # complex arrays cannot be device_put through the TPU
+        # transfer layer (only baked into compiled programs)
+        eta_j = eta_tri
+        scat_j = jnp.asarray(scat_tri)
+
+        # Fingerprint everything the jitted stages close over, so
+        # repeated solves of an unchanged configuration reuse the
+        # compiled executables (see _run_jitted).
+        fp = hashlib.blake2b(digest_size=16)
+        fp.update(scene.triangles.tobytes())
+        fp.update(eta_tri.tobytes())
+        fp.update(scat_tri.tobytes())
+        for dev in txs + rxs:
+            fp.update(dev.orientation.tobytes())
+            fp.update(dev.velocity.tobytes())
+        for arr in (scene.tx_array, scene.rx_array):
+            fp.update(repr((arr.num_rows, arr.num_cols,
+                            arr.vertical_spacing,
+                            arr.horizontal_spacing, arr.pattern,
+                            arr.polarization)).encode())
+        fp.update(repr((scene.frequency, tx_pos.shape,
+                        rx_pos.shape)).encode())
+        base_key = fp.hexdigest()
 
         results = []
         for seq in sequences:
-            out = self._eval_sequences(
-                scene, tri, normals, jnp.asarray(seq),
-                jnp.asarray(tx_pos), jnp.asarray(rx_pos),
-                jnp.asarray(eta_tri), jnp.asarray(scat_tri),
-                txs, rxs)
+            # seq stays host NumPy: it is an index constant embedded
+            # at trace time (zero-size LoS arrays cannot be
+            # transferred to the TPU at all)
+            skey = (base_key, "spec",
+                    hashlib.blake2b(seq.tobytes(),
+                                    digest_size=8).hexdigest())
+            out = _run_jitted(
+                skey,
+                lambda tp, rp, seq=seq:
+                self._eval_sequences(scene, tri, normals, seq, tp,
+                                     rp, eta_j, scat_j, txs, rxs),
+                tx_j, rx_j)
+            out["interactions"] = np.asarray(seq)
             results.append(out)
 
-        # Concatenate over path dim
-        def cat(field):
-            return jnp.concatenate([r[field] for r in results],
-                                   axis=-1)
+        # ------------------------------------------------------------
+        # 2b) First-order UTD wedge diffraction
+        # ------------------------------------------------------------
+        if diffraction and has_geometry:
+            wedges = extract_wedges(np.asarray(scene.triangles))
+            num_w = wedges["origin"].shape[0]
+            if num_w > max_num_wedges:
+                # keep the wedges nearest the device centroid
+                mid = (tx_pos.mean(axis=0) + rx_pos.mean(axis=0)) / 2.
+                mids = wedges["origin"] + 0.5 * wedges["length"][
+                    :, None] * wedges["e_hat"]
+                keep = np.argsort(
+                    np.linalg.norm(mids - mid, axis=1))[
+                        :max_num_wedges]
+                wedges = {k: v[keep] for k, v in wedges.items()}
+                num_w = max_num_wedges
+            if num_w > 0:
+                wedges = {k: (v.astype(rd) if v.dtype.kind == "f"
+                              else v.astype(np.int32))
+                          for k, v in wedges.items()}
+                out = _run_jitted(
+                    (base_key, "diffr", num_w),
+                    lambda tp, rp:
+                    self._eval_diffraction(scene, tri, wedges, tp,
+                                           rp, eta_j, txs, rxs),
+                    tx_j, rx_j)
+                out["interactions"] = \
+                    wedges["tri_0"][:, None].astype(np.int64)
+                out["kind"] = 1
+                results.append(out)
 
-        a = jnp.concatenate([r["a"] for r in results], axis=-1)
+        # ------------------------------------------------------------
+        # 2c) Diffuse (rough-surface) scattering, single bounce
+        # ------------------------------------------------------------
+        if diffuse_reflection and has_geometry \
+                and np.any(scat_tri > 0.):
+            sample = self._sample_scatter_points(scene, scat_tri,
+                                                 diffuse_samples,
+                                                 seed, rd)
+            if sample is not None:
+                p_np, tri_idx, d_area = sample
+                out = _run_jitted(
+                    (base_key, "scat", diffuse_samples, seed),
+                    lambda tp, rp:
+                    self._eval_scattering(
+                        scene, tri, normals, tp, rp, eta_j,
+                        jnp.asarray(p_np), tri_idx, d_area,
+                        diffuse_samples, seed, txs, rxs),
+                    tx_j, rx_j)
+                out["interactions"] = \
+                    tri_idx[:, None].astype(np.int64)
+                out["kind"] = 2
+                results.append(out)
+
+        # Concatenate over path dim (host: results are NumPy)
+        def cat(field):
+            return np.concatenate([r[field] for r in results],
+                                  axis=-1)
+
+        a = np.concatenate([r["a"] for r in results], axis=-1)
         # Pad interaction records to a common depth with -1
         inter = [np.asarray(r["interactions"]) for r in results]
         width = max(max((i.shape[1] for i in inter), default=1), 1)
         inter = [np.pad(i, ((0, 0), (0, width - i.shape[1])),
                         constant_values=-1) for i in inter]
+        # dedupe namespace: interaction kind (0 specular, 1 diffracted,
+        # 2 scattered) * 1000 + bounce depth
         depths = np.concatenate(
-            [np.full(i.shape[0], i_len) for i, i_len in
-             zip(inter, [r["interactions"].shape[1]
-                         for r in results])])
+            [np.full(r["interactions"].shape[0],
+                     1000 * r.get("kind", 0)
+                     + r["interactions"].shape[1])
+             for r in results])
         paths = Paths(
             a=a,
             tau=cat("tau"), valid=cat("valid"),
@@ -367,29 +554,30 @@ class PathSolver:
         A specular point on an edge shared by two coplanar triangles
         yields the same physical path once per triangle; keep one."""
         valid = np.array(paths.valid)
-        tau = np.asarray(paths.tau)
-        th_t = np.asarray(paths.theta_t)
-        ph_t = np.asarray(paths.phi_t)
         num_rx, num_tx, num_p = valid.shape
-        for r in range(num_rx):
-            for t in range(num_tx):
-                seen = {}
-                for p in range(num_p):
-                    if not valid[r, t, p]:
-                        continue
-                    key = (int(depths[p]),
-                           round(float(tau[r, t, p]) * 1e12),
-                           round(float(th_t[r, t, p]) * 1e6),
-                           round(float(ph_t[r, t, p]) * 1e6))
-                    if key in seen:
-                        valid[r, t, p] = False
-                    else:
-                        seen[key] = p
-        mask = jnp.asarray(valid)
+        shape = valid.shape
+        keys = np.stack([
+            np.broadcast_to(np.arange(num_rx)[:, None, None], shape),
+            np.broadcast_to(np.arange(num_tx)[None, :, None], shape),
+            np.broadcast_to(np.asarray(depths, np.int64)[None, None],
+                            shape),
+            np.round(np.asarray(paths.tau) * 1e12).astype(np.int64),
+            np.round(np.asarray(paths.theta_t) * 1e6).astype(np.int64),
+            np.round(np.asarray(paths.phi_t) * 1e6).astype(np.int64),
+        ], axis=-1).reshape(-1, 6)
+        flat = valid.reshape(-1)
+        cand = np.flatnonzero(flat)
+        if cand.size:
+            _, first = np.unique(keys[cand], axis=0,
+                                 return_index=True)
+            keep = np.zeros(flat.shape, bool)
+            keep[cand[first]] = True
+            flat &= keep
+        mask = flat.reshape(shape)
         paths.valid = mask
         paths.a = paths.a * mask.astype(paths.a.dtype)[
             :, None, :, None, :]
-        paths.tau = jnp.where(mask, paths.tau, -1.)
+        paths.tau = np.where(mask, paths.tau, -1.)
 
     # ------------------------------------------------------------------
     def _eval_sequences(self, scene, tri, normals, seq, tx_pos,
@@ -491,7 +679,8 @@ class PathSolver:
             n_k = jnp.where(
                 jnp.sum(n_k * d_in, axis=-1, keepdims=True) > 0,
                 -n_k, n_k)
-            cos_i = jnp.clip(-jnp.sum(d_in * n_k, axis=-1), 0., 1.)
+            cos_i = jnp.clip(-jnp.sum(d_in * n_k, axis=-1),
+                             0., 1.).astype(jnp.float32)
             # s (TE) axis; fall back to e_a at normal incidence
             e_s = jnp.cross(d_in, n_k)
             s_norm = jnp.linalg.norm(e_s, axis=-1, keepdims=True)
@@ -506,7 +695,8 @@ class PathSolver:
             r_s = (cos_i - root) / (cos_i + root)
             r_p = (eta * cos_i - root) / (eta * cos_i + root)
             s_coef = jnp.sqrt(jnp.maximum(
-                1. - scat_tri[seq[:, k]][:, None, None] ** 2, 0.))
+                1. - scat_tri[seq[:, k]][:, None, None] ** 2, 0.)
+            ).astype(jnp.float32)
             r_s = r_s * s_coef
             r_p = r_p * s_coef
             # Basis rotation into (e_s, e_p_in)
@@ -534,14 +724,35 @@ class PathSolver:
             axis=-2).astype(jnp.complex64)
         jones = proj @ jones                    # [S,tx,rx,2,2]
 
+        mag = (lam / (4. * PI * jnp.maximum(total_len, 1e-9))
+               ).astype(jnp.float32)
+        amp = mag * _phase_exp(total_len, lam)
+        tau = total_len / SPEED_OF_LIGHT
+        return self._combine(scene, txs, rxs, d_hat[0], u_r, jones,
+                             amp, valid, tau)
+
+    # ------------------------------------------------------------------
+    def _combine(self, scene, txs, rxs, d0_hat, u_r, jones, amp,
+                 valid, tau):
+        """Applies antenna patterns, synthetic-array phase offsets and
+        Doppler to per-path Jones matrices, producing the Paths-layout
+        output dict.
+
+        d0_hat/u_r: [P,tx,rx,3] departure direction / arrival
+        direction (pointing from the RX back along the last segment);
+        jones [P,tx,rx,2,2] maps the TX spherical basis of ``d0_hat``
+        to the RX spherical basis of ``u_r``; amp [P,tx,rx] carries
+        spreading + propagation phase; tau in seconds."""
+        lam = scene.wavelength
+
         # --- Antenna patterns in device-local frames
-        theta_t_g, phi_t_g = _unit_to_angles(d_hat[0])
+        theta_t_g, phi_t_g = _unit_to_angles(d0_hat)
         theta_r_g, phi_r_g = _unit_to_angles(u_r)
 
         rot_tx = np.stack([_rot_matrix(t.orientation) for t in txs])
         rot_rx = np.stack([_rot_matrix(r.orientation) for r in rxs])
         d0_loc = jnp.einsum("tij,stri->strj",
-                            jnp.asarray(rot_tx), d_hat[0])
+                            jnp.asarray(rot_tx), d0_hat)
         ur_loc = jnp.einsum("rij,stri->strj",
                             jnp.asarray(rot_rx), u_r)
         th_t_l, ph_t_l = _unit_to_angles(d0_loc)
@@ -554,7 +765,7 @@ class PathSolver:
         # local spherical basis maps to the global one via the angle
         # between bases; compute via basis vectors
         e_th_t_l, e_ph_t_l = _sph_basis(d0_loc)
-        e_th_t_g, e_ph_t_g = _sph_basis(d_hat[0])
+        e_th_t_g, e_ph_t_g = _sph_basis(d0_hat)
         # global field = R^T (local basis vectors) . components
         rt_t = jnp.swapaxes(jnp.asarray(rot_tx), -2, -1)
         e_th_t_gl = jnp.einsum("tij,strj->stri", rt_t, e_th_t_l)
@@ -592,19 +803,15 @@ class PathSolver:
         field = jnp.einsum("stria,strij,strjb->strab",
                            f_r, jones, f_t)  # [S,t,r,ra,ta]
 
-        phase = jnp.exp(-2j * PI * total_len / lam)
-        amp = (lam / (4. * PI * jnp.maximum(total_len, 1e-9))
-               * phase).astype(jnp.complex64)
-
         # --- Array phase offsets (plane-wave / synthetic array)
         pos_t = jnp.asarray(scene.tx_array.positions(lam))  # [ta,3]
         pos_r = jnp.asarray(scene.rx_array.positions(lam))
         rot_pt = jnp.einsum("tij,aj->tai", rt_t, pos_t)
         rot_pr = jnp.einsum("rij,aj->rai", rt_r, pos_r)
-        ph_t = jnp.exp(2j * PI / lam * jnp.einsum(
-            "tai,stri->stra", rot_pt, d_hat[0]))
-        ph_r = jnp.exp(-2j * PI / lam * jnp.einsum(
-            "rai,stri->stra", rot_pr, u_r))
+        ph_t = jnp.exp(1j * (2. * PI / lam * jnp.einsum(
+            "tai,stri->stra", rot_pt, d0_hat)).astype(jnp.float32))
+        ph_r = jnp.exp(1j * (-2. * PI / lam * jnp.einsum(
+            "rai,stri->stra", rot_pr, u_r)).astype(jnp.float32))
         a = (field * amp[..., None, None]
              * ph_r[..., :, None] * ph_t[..., None, :])
 
@@ -612,13 +819,12 @@ class PathSolver:
         v_tx = jnp.asarray(np.stack([t.velocity for t in txs]))
         v_rx = jnp.asarray(np.stack([r.velocity for r in rxs]))
         fd = (scene.frequency / SPEED_OF_LIGHT) * (
-            jnp.einsum("ti,stri->str", v_tx, d_hat[0])
-            - jnp.einsum("ri,stri->str", v_rx, d_hat[-1]))
+            jnp.einsum("ti,stri->str", v_tx, d0_hat)
+            + jnp.einsum("ri,stri->str", v_rx, u_r))
 
         # --- Mask invalid paths and reorder to Paths layout
         valid_c = valid.astype(jnp.complex64)
         a = a * valid_c[..., None, None]
-        tau = jnp.where(valid, total_len / SPEED_OF_LIGHT, -1.)
         # [S,tx,rx,...] -> [rx, ra, tx, ta, S] etc.
         a = jnp.transpose(a, (2, 3, 1, 4, 0))
         out = {
@@ -632,9 +838,270 @@ class PathSolver:
             "phi_r": jnp.transpose(phi_r_g, (2, 1, 0)),
             "doppler": jnp.transpose(jnp.where(valid, fd, 0.),
                                      (2, 1, 0)),
-            "interactions": np.asarray(seq),
         }
         return out
+
+    # ------------------------------------------------------------------
+    def _eval_diffraction(self, scene, tri, wedges, tx_pos, rx_pos,
+                          eta_tri, txs, rxs):
+        """Evaluates first-order UTD diffraction off every wedge for
+        all TX/RX pairs as one [W, tx, rx] batch.
+
+        The diffraction point on each (straight) edge follows from the
+        generalized Fermat principle in closed form: with (t, rho) the
+        cylindrical coordinates of TX/RX about the edge line, the
+        stationary point is t_d = (t_tx rho_rx + t_rx rho_tx) /
+        (rho_tx + rho_rx), which also satisfies the Keller cone
+        condition beta_0 = beta_0'."""
+        lam = scene.wavelength
+        k_wave = 2. * PI / lam
+        origin = jnp.asarray(wedges["origin"])          # [W,3]
+        e_hat = jnp.asarray(wedges["e_hat"])
+        e_len = jnp.asarray(wedges["length"])           # [W]
+        x_hat = jnp.asarray(wedges["x_hat"])
+        y_hat = jnp.asarray(wedges["y_hat"])
+        n_ang = jnp.asarray(wedges["n_angle"])          # [W]
+        # host indexing: eta_tri is a NumPy constant (complex arrays
+        # cannot be device_put on TPU; they embed as HLO literals)
+        eta0 = np.asarray(eta_tri)[wedges["tri_0"]]
+        etan = np.asarray(eta_tri)[wedges["tri_n"]]
+        num_w = origin.shape[0]
+        num_tx = tx_pos.shape[0]
+        num_rx = rx_pos.shape[0]
+
+        # cylindrical coordinates about the edge line
+        rel_t = tx_pos[None] - origin[:, None]          # [W,T,3]
+        t1 = jnp.sum(rel_t * e_hat[:, None], -1)        # [W,T]
+        perp_t = rel_t - t1[..., None] * e_hat[:, None]
+        rho1 = jnp.linalg.norm(perp_t, axis=-1)
+        rel_r = rx_pos[None] - origin[:, None]          # [W,R,3]
+        t2 = jnp.sum(rel_r * e_hat[:, None], -1)
+        perp_r = rel_r - t2[..., None] * e_hat[:, None]
+        rho2 = jnp.linalg.norm(perp_r, axis=-1)
+
+        denom = rho1[:, :, None] + rho2[:, None]
+        t_d = (t1[:, :, None] * rho2[:, None]
+               + t2[:, None] * rho1[:, :, None]) \
+            / jnp.maximum(denom, 1e-12)                 # [W,T,R]
+        valid = ((t_d > 1e-6)
+                 & (t_d < e_len[:, None, None] - 1e-6)
+                 & (rho1[:, :, None] > 1e-4)
+                 & (rho2[:, None, :] > 1e-4))
+        q = origin[:, None, None] \
+            + t_d[..., None] * e_hat[:, None, None]     # [W,T,R,3]
+        s_i_vec = q - tx_pos[None, :, None]
+        s_i = jnp.linalg.norm(s_i_vec, axis=-1)
+        shat_i = s_i_vec / jnp.maximum(s_i[..., None], 1e-12)
+        s_d_vec = rx_pos[None, None] - q
+        s_d = jnp.linalg.norm(s_d_vec, axis=-1)
+        shat_d = s_d_vec / jnp.maximum(s_d[..., None], 1e-12)
+
+        # azimuths about the edge, measured from the 0-face through
+        # the exterior region
+        u_p = perp_t / jnp.maximum(rho1[..., None], 1e-12)
+        phi_p = jnp.arctan2(
+            jnp.sum(u_p * y_hat[:, None], -1),
+            jnp.sum(u_p * x_hat[:, None], -1)) % (2. * PI)  # [W,T]
+        u_d = perp_r / jnp.maximum(rho2[..., None], 1e-12)
+        phi = jnp.arctan2(
+            jnp.sum(u_d * y_hat[:, None], -1),
+            jnp.sum(u_d * x_hat[:, None], -1)) % (2. * PI)  # [W,R]
+        valid &= (phi_p[:, :, None] <= n_ang[:, None, None]) \
+            & (phi[:, None, :] <= n_ang[:, None, None])
+
+        cos_b = jnp.sum(e_hat[:, None, None] * shat_i, -1)
+        sin_b0 = jnp.sqrt(jnp.maximum(1. - cos_b ** 2, 1e-12))
+        valid &= sin_b0 > 1e-3
+        l_par = s_i * s_d * sin_b0 ** 2 \
+            / jnp.maximum(s_i + s_d, 1e-12)
+        n_par = (n_ang / PI)[:, None, None]
+        d_s, d_h = utd_coefficients(
+            phi[:, None, :], phi_p[:, :, None], n_par,
+            k_wave * l_par, sin_b0, k_wave,
+            eta0[:, None, None], etan[:, None, None])
+
+        # edge-fixed polarization bases (McNamara convention)
+        e_b = jnp.broadcast_to(e_hat[:, None, None], shat_i.shape)
+        cr_i = jnp.cross(e_b, shat_i)
+        phi_hat_i = -cr_i / jnp.maximum(
+            jnp.linalg.norm(cr_i, axis=-1, keepdims=True), 1e-12)
+        beta_hat_i = jnp.cross(phi_hat_i, shat_i)
+        cr_d = jnp.cross(e_b, shat_d)
+        phi_hat_d = cr_d / jnp.maximum(
+            jnp.linalg.norm(cr_d, axis=-1, keepdims=True), 1e-12)
+        beta_hat_d = jnp.cross(phi_hat_d, shat_d)
+
+        e_th_i, e_ph_i = _sph_basis(shat_i)
+        rot_in = jnp.stack(
+            [jnp.stack([jnp.sum(beta_hat_i * e_th_i, -1),
+                        jnp.sum(beta_hat_i * e_ph_i, -1)], -1),
+             jnp.stack([jnp.sum(phi_hat_i * e_th_i, -1),
+                        jnp.sum(phi_hat_i * e_ph_i, -1)], -1)],
+            axis=-2).astype(jnp.complex64)
+        u_r = -shat_d
+        e_tr, e_pr = _sph_basis(u_r)
+        proj = jnp.stack(
+            [jnp.stack([jnp.sum(e_tr * beta_hat_d, -1),
+                        jnp.sum(e_tr * phi_hat_d, -1)], -1),
+             jnp.stack([jnp.sum(e_pr * beta_hat_d, -1),
+                        jnp.sum(e_pr * phi_hat_d, -1)], -1)],
+            axis=-2).astype(jnp.complex64)
+        dmat = jnp.zeros(rot_in.shape, jnp.complex64)
+        dmat = dmat.at[..., 0, 0].set(-d_s.astype(jnp.complex64))
+        dmat = dmat.at[..., 1, 1].set(-d_h.astype(jnp.complex64))
+        jones = proj @ dmat @ rot_in
+
+        # spreading for a straight edge with spherical incidence
+        total_len = s_i + s_d
+        spread = jnp.sqrt(1. / jnp.maximum(
+            s_i * s_d * total_len, 1e-12))
+        amp = ((lam / (4. * PI) * spread).astype(jnp.float32)
+               * _phase_exp(total_len, lam))
+
+        # occlusion of both segments (the wedge faces are excluded:
+        # Q lies exactly on them)
+        excl = np.stack([wedges["tri_0"], wedges["tri_n"]], axis=1)
+        excl_b = jnp.asarray(np.broadcast_to(
+            excl[:, None, None], (num_w, num_tx, num_rx, 2)
+        ).reshape(-1, 2))
+        o1 = jnp.broadcast_to(tx_pos[None, :, None],
+                              q.shape).reshape(-1, 3)
+        blocked1 = any_blocking_hit(o1, s_i_vec.reshape(-1, 3), tri,
+                                    excl_ids=excl_b)
+        blocked2 = any_blocking_hit(q.reshape(-1, 3),
+                                    s_d_vec.reshape(-1, 3), tri,
+                                    excl_ids=excl_b)
+        valid &= ~(blocked1 | blocked2).reshape(
+            num_w, num_tx, num_rx)
+
+        tau = total_len / SPEED_OF_LIGHT
+        return self._combine(scene, txs, rxs, shat_i, u_r, jones,
+                             amp, valid, tau)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _sample_scatter_points(scene, scat_tri, num_samples, seed,
+                               rd):
+        """Host-side area-weighted sampling of scattering surfaces.
+
+        Returns (points [N,3], tri_idx [N], d_area) or None when no
+        material scatters."""
+        tri_np = np.asarray(scene.triangles)
+        v0, v1, v2 = tri_np[:, 0], tri_np[:, 1], tri_np[:, 2]
+        areas = 0.5 * np.linalg.norm(
+            np.cross(v1 - v0, v2 - v0), axis=1)
+        w_area = areas * (np.asarray(scat_tri) > 0.)
+        total_area = float(w_area.sum())
+        if total_area <= 0.:
+            return None
+        rng = np.random.default_rng(seed)
+        tri_idx = rng.choice(tri_np.shape[0], size=num_samples,
+                             p=w_area / total_area).astype(np.int32)
+        r_a = np.sqrt(rng.random(num_samples))
+        r_b = rng.random(num_samples)
+        bary = np.stack([1. - r_a, r_a * (1. - r_b), r_a * r_b],
+                        axis=1)                         # [N,3]
+        p = np.einsum("nk,nkd->nd", bary, tri_np[tri_idx])
+        # effective area represented by each sample (importance-
+        # weighted: samples are drawn proportional to area)
+        return p.astype(rd), tri_idx, total_area / num_samples
+
+    def _eval_scattering(self, scene, tri, normals, tx_pos, rx_pos,
+                         eta_tri, p, tri_idx, d_area, num_samples,
+                         seed, txs, rxs):
+        """Single-bounce diffuse scattering via area-weighted Monte
+        Carlo over the scene surface (effective-roughness model with a
+        Lambertian re-radiation pattern).
+
+        Each sample point p contributes mean received power
+        (lam/4pi)^2 * cos(theta_i) * dA * S^2 * Gamma^2
+        * cos(theta_s) / (pi r1^2 r2^2) with dA = total_area / N —
+        energy-consistent with the sqrt(1-S^2) reduction the specular
+        evaluator applies to reflected fields.  Scattered paths are
+        depolarized with uniform random phases (power-calibrated in
+        expectation)."""
+        lam = scene.wavelength
+        scat_np = np.array(
+            [m.scattering_coefficient
+             for m in scene.triangle_materials], np.float32)
+        s_coef = jnp.asarray(scat_np[tri_idx])          # [N]
+        n_s = normals[jnp.asarray(tri_idx)]             # [N,3]
+        num_tx = tx_pos.shape[0]
+        num_rx = rx_pos.shape[0]
+
+        s1_vec = p[:, None] - tx_pos[None]              # [N,T,3]
+        s1 = jnp.linalg.norm(s1_vec, axis=-1)
+        shat1 = s1_vec / jnp.maximum(s1[..., None], 1e-12)
+        # orient the normal towards the TX
+        flip = jnp.sign(jnp.sum(n_s[:, None] * (-shat1), -1))
+        n_or = n_s[:, None] * jnp.where(flip == 0., 1., flip)[
+            ..., None]                                  # [N,T,3]
+        cos_i = jnp.clip(-jnp.sum(shat1 * n_or, -1), 0., 1.)  # [N,T]
+
+        s2_vec = rx_pos[None, None] - p[:, None, None]  # [N,1,R,3]
+        s2 = jnp.linalg.norm(s2_vec, axis=-1)           # [N,1,R]
+        shat2 = s2_vec / jnp.maximum(s2[..., None], 1e-12)
+        cos_s = jnp.sum(shat2 * n_or[:, :, None], -1)   # [N,T,R]
+        valid = (cos_s > 1e-6) & (cos_i[:, :, None] > 1e-6) \
+            & (s1[:, :, None] > 1e-3) & (s2 > 1e-3)
+
+        eta_hit = np.asarray(eta_tri)[tri_idx]     # complex64 const
+        cos_f = cos_i.astype(jnp.float32)
+        sin2 = 1. - cos_f ** 2
+        root = jnp.sqrt(eta_hit[:, None] - sin2)
+        r_s = (cos_f - root) / (cos_f + root)
+        r_p = (eta_hit[:, None] * cos_f - root) \
+            / (eta_hit[:, None] * cos_f + root)
+        gamma2 = 0.5 * (jnp.abs(r_s) ** 2
+                        + jnp.abs(r_p) ** 2)            # [N,T]
+
+        f_lamb = cos_s / PI
+        a2 = ((lam / (4. * PI)) ** 2
+              * cos_i[:, :, None] * d_area
+              * (s_coef[:, None] ** 2 * gamma2)[:, :, None] * f_lamb
+              / jnp.maximum((s1[:, :, None] * s2) ** 2, 1e-12))
+        total_len = s1[:, :, None] + s2                 # [N,T,R]
+        # factor 2: E|Fr^T J Ft|^2 = 1/2 |Fr|^2 |Ft|^2 for the random
+        # depolarizing Jones matrix below
+        key = jax.random.PRNGKey(seed)
+        chi0 = jax.random.uniform(
+            key, (num_samples, num_tx, num_rx), jnp.float32,
+            maxval=2. * PI)
+        amp = (jnp.sqrt(2. * a2).astype(jnp.float32)
+               * jnp.exp(1j * chi0) * _phase_exp(total_len, lam))
+        chi = jax.random.uniform(
+            jax.random.fold_in(key, 1),
+            (num_samples, num_tx, num_rx, 2, 2), jnp.float32,
+            maxval=2. * PI)
+        jones = jnp.exp(1j * chi) / np.float32(np.sqrt(2.))
+
+        # occlusion of both segments, excluding the sampled triangle
+        excl_b = jnp.asarray(np.broadcast_to(
+            tri_idx[:, None, None, None],
+            (num_samples, num_tx, num_rx, 1)).reshape(-1, 1))
+        o1 = jnp.broadcast_to(
+            tx_pos[None, :, None],
+            (num_samples, num_tx, num_rx, 3)).reshape(-1, 3)
+        d1 = jnp.broadcast_to(
+            -s1_vec[:, :, None],
+            (num_samples, num_tx, num_rx, 3)).reshape(-1, 3)
+        blocked1 = any_blocking_hit(o1, -d1, tri, excl_ids=excl_b)
+        o2 = jnp.broadcast_to(
+            p[:, None, None],
+            (num_samples, num_tx, num_rx, 3)).reshape(-1, 3)
+        d2 = jnp.broadcast_to(
+            s2_vec, (num_samples, num_tx, num_rx, 3)).reshape(-1, 3)
+        blocked2 = any_blocking_hit(o2, d2, tri, excl_ids=excl_b)
+        valid &= ~(blocked1 | blocked2).reshape(
+            num_samples, num_tx, num_rx)
+
+        d0_hat = jnp.broadcast_to(
+            shat1[:, :, None], (num_samples, num_tx, num_rx, 3))
+        u_r = jnp.broadcast_to(
+            -shat2, (num_samples, num_tx, num_rx, 3))
+        tau = total_len / SPEED_OF_LIGHT
+        return self._combine(scene, txs, rxs, d0_hat, u_r, jones,
+                             amp, valid, tau)
 
     @staticmethod
     def _in_triangle(p, a, b, c):

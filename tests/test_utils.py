@@ -101,3 +101,45 @@ def test_matrix_pinv():
     np.testing.assert_allclose(pinv @ a,
                                np.broadcast_to(np.eye(3), (2, 3, 3)),
                                atol=1e-10)
+
+
+def test_profiler_phases():
+    import time as _time
+    from sionna_tpu.phy.utils import Profiler
+    prof = Profiler()
+    with prof.phase("a"):
+        _time.sleep(0.01)
+    with prof.phase("a"):
+        _time.sleep(0.01)
+    with prof.phase("b"):
+        with prof.phase("inner"):
+            pass
+    assert prof.counts["a"] == 2
+    assert prof.times["a"] >= 0.02
+    assert "inner" in prof.times
+    s = prof.summary()
+    assert "a" in s and "mean [ms]" in s
+    d = prof.as_dict()
+    assert d["b"]["count"] == 1
+    prof.reset()
+    assert prof.summary() == "(no phases recorded)"
+
+
+def test_sim_ber_profiler_integration():
+    import jax
+    import jax.numpy as jnp
+    from sionna_tpu.phy.utils import Profiler, sim_ber
+
+    def mc_fun(batch_size, ebno_db, key):
+        b = jax.random.bernoulli(key, 0.5, (batch_size, 16))
+        b = b.astype(jnp.float32)
+        flip = jax.random.bernoulli(
+            jax.random.fold_in(key, 7), 0.05, b.shape)
+        return b, jnp.where(flip, 1.0 - b, b)
+
+    prof = Profiler()
+    ber, _ = sim_ber(mc_fun, [0.0, 2.0], batch_size=64, max_mc_iter=4,
+                     verbose=False, early_stop=False, profiler=prof)
+    assert "compile" in prof.times
+    assert prof.counts.get("mc_chunk", 0) >= 1
+    assert np.all(np.asarray(ber) > 0)
