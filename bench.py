@@ -366,17 +366,22 @@ def bench_sys(n_slots=50):
     phy_abs = PHYAbstraction()
     olla = OuterLoopLinkAdaptation(phy_abs, num_ut, bler_target=0.1)
     n_re = np.full((num_ut,), 1000)
+    n_re_j = jnp.asarray(n_re, jnp.int32)
     rng = np.random.default_rng(0)
+
+    @jax.jit
+    def phy_step(mcs, sinr_eff, key):
+        bits, harq_j, *_ = phy_abs(mcs, sinr_eff=sinr_eff,
+                                   num_allocated_re=n_re_j, key=key)
+        return jnp.sum(bits), harq_j
 
     def slot(s, harq):
         sinr_eff = sinr_base * rng.exponential(1., num_ut)
         mcs = olla(n_re, harq_feedback=harq, sinr_eff=sinr_eff)
-        bits, harq_j, *_ = phy_abs(
-            jnp.asarray(np.asarray(mcs)),
-            sinr_eff=jnp.asarray(sinr_eff),
-            num_allocated_re=jnp.asarray(n_re),
-            key=jax.random.PRNGKey(100 + s))
-        return np.asarray(harq_j), int(jnp.sum(bits))
+        bits, harq_j = phy_step(
+            mcs, jnp.asarray(sinr_eff, jnp.float32),
+            jax.random.PRNGKey(100 + s))
+        return np.asarray(harq_j), int(bits)
 
     harq, _ = slot(0, None)  # warmup/compile
     t0 = time.perf_counter()

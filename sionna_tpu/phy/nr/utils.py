@@ -99,6 +99,66 @@ def decode_mcs_index(mcs_index, table_index=1, is_pusch=True,
     return mod.astype(np.int32), rate.astype(np.float32)
 
 
+def decode_mcs_index_jit(mcs_index, table_index=1, is_pusch=True,
+                         transform_precoding=False, pi2bpsk=False):
+    """Traceable variant of :func:`decode_mcs_index` (pure jnp table
+    gathers, no value validation — invalid entries return -1).  Used
+    by the jitted SYS link-adaptation path."""
+    import jax.numpy as jnp
+    mcs = jnp.asarray(mcs_index, jnp.int32)
+    shape = mcs.shape
+    ti = jnp.broadcast_to(jnp.asarray(table_index, jnp.int32), shape)
+    ip = jnp.broadcast_to(jnp.asarray(is_pusch, bool), shape)
+    tp = jnp.broadcast_to(jnp.asarray(transform_precoding, bool),
+                          shape)
+    channel_idx = (~ip | ~tp).astype(jnp.int32)
+    mod = jnp.asarray(_MOD_ORDERS)[channel_idx, ti - 1, mcs]
+    rate = jnp.asarray(_TARGET_RATES)[channel_idx, ti - 1, mcs] \
+        / 1024.0
+    return mod.astype(jnp.int32), rate.astype(jnp.float32)
+
+
+def calculate_cb_size_jit(modulation_order, target_coderate,
+                          num_coded_bits):
+    """Traceable (cb_size, num_cb) per TS 38.214 Sec. 5.1.3.2 —
+    mirrors the quantization arithmetic of :func:`calculate_tb_size`
+    in jnp for the case where ``num_coded_bits`` is given."""
+    import jax.numpy as jnp
+    target_coderate = jnp.asarray(target_coderate, jnp.float32)
+    num_coded_bits = jnp.asarray(num_coded_bits, jnp.float32)
+    tts = jnp.maximum(target_coderate * num_coded_bits, 0.)
+
+    n_small = jnp.maximum(
+        3.0, jnp.floor(jnp.log2(jnp.maximum(tts, 1.))) - 6.)
+    q_small = jnp.maximum(
+        24.0, 2. ** n_small * jnp.floor(tts / 2. ** n_small))
+    n_big = jnp.floor(
+        jnp.log2(jnp.maximum(tts - 24., 1.))) - 5.
+    q_big = jnp.maximum(
+        3840.0, 2. ** n_big * jnp.round((tts - 24.) / 2. ** n_big))
+    n_info_q = jnp.where(tts <= 3824., q_small, q_big)
+
+    num_cb = jnp.where(
+        n_info_q <= 3824., 1.0,
+        jnp.where(target_coderate <= 0.25,
+                  jnp.ceil((n_info_q + 24.) / 3816.),
+                  jnp.where(n_info_q > 8424.,
+                            jnp.ceil((n_info_q + 24.) / 8424.), 1.)))
+
+    idx = jnp.searchsorted(jnp.asarray(_TAB51321, jnp.float32),
+                           n_info_q, side="left")
+    idx = jnp.minimum(idx, len(_TAB51321) - 1)
+    tbs_small = jnp.asarray(_TAB51321, jnp.float32)[idx]
+    tbs_big = (8. * num_cb * jnp.ceil((n_info_q + 24.)
+                                      / (8. * num_cb)) - 24.)
+    tb_size = jnp.where(n_info_q <= 3824., tbs_small, tbs_big)
+    tb_crc = jnp.where(tb_size > 3824., 24., 16.)
+    cb_crc = jnp.where(num_cb > 1., 24., 0.)
+    cb_size = (jnp.floor((tb_size + tb_crc) / num_cb)
+               + cb_crc).astype(jnp.int32)
+    return cb_size, num_cb.astype(jnp.int32)
+
+
 def calculate_num_coded_bits(modulation_order, num_prbs,
                              num_ofdm_symbols, num_dmrs_per_prb,
                              num_layers=1, num_ov=0, tb_scaling=1.0,
@@ -246,6 +306,17 @@ class MCSDecoderNR(MCSDecoder):
         # transform_precoding defaults to True, matching the
         # reference's MCSDecoderNR (nr/utils.py:307) - the shipped
         # BLER tables were generated under this default.
+        import jax
+        if any(isinstance(a, jax.core.Tracer)
+               for a in (mcs_index, mcs_table_index, mcs_category)):
+            # traced inputs (jitted SYS loop): pure-jnp gather path
+            import jax.numpy as jnp
+            mod, rate = decode_mcs_index_jit(
+                mcs_index, table_index=mcs_table_index,
+                is_pusch=(jnp.asarray(mcs_category) == 0),
+                transform_precoding=transform_precoding,
+                pi2bpsk=pi2bpsk)
+            return mod, rate.astype(self.rdtype)
         mod, rate = decode_mcs_index(
             np.asarray(mcs_index),
             table_index=np.asarray(mcs_table_index),
@@ -264,6 +335,13 @@ class TransportBlockNR(TransportBlock):
 
     def call(self, modulation_order, target_coderate, num_coded_bits,
              **kwargs):
+        import jax
+        if any(isinstance(a, jax.core.Tracer)
+               for a in (modulation_order, target_coderate,
+                         num_coded_bits)):
+            # traced inputs (jitted SYS loop): pure-jnp arithmetic
+            return calculate_cb_size_jit(
+                modulation_order, target_coderate, num_coded_bits)
         _, cb_size, num_cb, *_ = calculate_tb_size(
             np.asarray(modulation_order),
             np.asarray(target_coderate),

@@ -144,6 +144,7 @@ class OuterLoopLinkAdaptation(Block):
         self._delta_up = float(delta_up)
         self._offset_min = float(offset_min)
         self._offset_max = float(offset_max)
+        self._illa_jit = None
         self.reset(sinr_eff_init, sinr_eff_init_fill)
 
     def reset(self, sinr_eff_init=1., sinr_eff_init_fill=.1):
@@ -245,7 +246,20 @@ class OuterLoopLinkAdaptation(Block):
 
         sinr_eff_offset = 10. ** (
             (self._sinr_eff_db_last - self._offset) / 10.)
-        return self._illa(sinr_eff=sinr_eff_offset,
-                          num_allocated_re=num_allocated_re,
-                          mcs_table_index=mcs_table_index,
-                          mcs_category=mcs_category)
+        # the inner-loop search runs as one jitted program (cached on
+        # first use): on accelerators this replaces dozens of eager
+        # dispatches per slot with a single launch
+        if self._illa_jit is None:
+            import jax
+
+            def _run(sinr_eff, n_re, ti, cat):
+                return self._illa(sinr_eff=sinr_eff,
+                                  num_allocated_re=n_re,
+                                  mcs_table_index=ti,
+                                  mcs_category=cat)
+            self._illa_jit = jax.jit(_run)
+        return self._illa_jit(
+            jnp.asarray(sinr_eff_offset, self.rdtype),
+            jnp.asarray(num_allocated_re, jnp.int32),
+            jnp.asarray(mcs_table_index, jnp.int32),
+            jnp.asarray(mcs_category, jnp.int32))

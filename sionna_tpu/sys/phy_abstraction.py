@@ -235,7 +235,19 @@ class PHYAbstraction(Block):
                 "Either 'sinr' or ('sinr_eff','num_allocated_re') is "
                 "required as input")
         if key is None:
-            key = config.next_key()
+            try:
+                tracing = type(jax.core.trace_ctx.trace).__name__ \
+                    != "EvalTrace"
+            except AttributeError:
+                tracing = False
+            if tracing:
+                # stateful key creation would leak a tracer; inside
+                # jit callers must pass an explicit key for fresh
+                # randomness (HARQ realizations are deterministic
+                # otherwise)
+                key = jax.random.PRNGKey(0)
+            else:
+                key = config.next_key()
 
         if sinr is not None:
             sinr = jnp.asarray(sinr, self.rdtype)
@@ -261,10 +273,12 @@ class PHYAbstraction(Block):
         target_coderate = jnp.asarray(target_coderate, self.rdtype)
 
         num_coded_bits = modulation_order * num_allocated_re
+        # pass through untouched: the transport-block function runs
+        # its traceable jnp path when inputs are traced (jitted SYS
+        # loops) and its NumPy path otherwise
         cb_size, num_cb = self._transport_block_fun(
-            np.asarray(modulation_order),
-            np.asarray(target_coderate),
-            np.asarray(num_coded_bits), **kwargs)
+            modulation_order, target_coderate, num_coded_bits,
+            **kwargs)
         cb_size = jnp.asarray(cb_size, jnp.int32)
         num_cb = jnp.asarray(num_cb, jnp.int32)
 
