@@ -15,6 +15,7 @@ from ..config import config
 __all__ = ["GaussianPriorSource", "llr2mi", "j_fun", "j_fun_inv",
            "plot_trajectory", "plot_exit_chart", "get_exit_analytic",
            "load_parity_check_examples", "bin2int", "int2bin",
+           "bin2int_jnp", "int2bin_jnp",
            "alist2mat", "load_alist", "make_systematic", "gm2pcm",
            "pcm2gm", "verify_gm_pcm", "generate_reg_ldpc", "int_mod_2"]
 
@@ -177,6 +178,25 @@ def int2bin(num, length):
         raise ValueError("num and length must be non-negative.")
     return [int(b) for b in np.binary_repr(num, max(length, 1))
             ][-length:] if length > 0 else []
+
+
+def bin2int_jnp(arr, axis=-1):
+    """Tensor variant of :func:`bin2int`: MSB-first bits along
+    ``axis`` -> integers (reference bin2int_tf, fec/utils.py:552)."""
+    arr = jnp.asarray(arr, jnp.int32)
+    length = arr.shape[axis]
+    weights = 2 ** jnp.arange(length - 1, -1, -1, dtype=jnp.int32)
+    return jnp.tensordot(jnp.moveaxis(arr, axis, -1), weights,
+                         axes=1)
+
+
+def int2bin_jnp(ints, length):
+    """Tensor variant of :func:`int2bin`: integers -> MSB-first bits
+    appended as a trailing axis of size ``length`` (reference
+    int2bin_tf, fec/utils.py:616)."""
+    ints = jnp.asarray(ints, jnp.int32)
+    shifts = jnp.arange(length - 1, -1, -1, dtype=jnp.int32)
+    return (ints[..., None] >> shifts) & 1
 
 
 def load_alist(path):

@@ -330,3 +330,37 @@ def test_ldpc_pallas_engine_interpret():
                         hard_out=False, engine="pallas")
     np.testing.assert_array_equal(np.asarray(d_l(llr)),
                                   np.asarray(d_p(llr)))
+
+
+# ------------------------------------------------------------------ #
+# Execution-mode grid: every engine x jit x precision combination
+# must produce the same decisions (reference pattern:
+# test/unit/fec/test_ldpc_decoding.py:93-119)
+# ------------------------------------------------------------------ #
+
+@pytest.mark.parametrize("engine", ["segment", "matmul", "lifted"])
+@pytest.mark.parametrize("use_jit", [False, True])
+@pytest.mark.parametrize("precision", ["single", "double"])
+def test_ldpc_decoder_mode_grid(engine, use_jit, precision):
+    from sionna_tpu.phy.fec.ldpc import LDPC5GEncoder, LDPC5GDecoder
+    k, n, batch = 100, 200, 8
+    enc = LDPC5GEncoder(k, n, precision=precision)
+    dec = LDPC5GDecoder(enc, hard_out=True, num_iter=10,
+                        cn_update="minsum", engine=engine,
+                        precision=precision)
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.integers(0, 2, (batch, k)).astype(np.float32))
+    c = enc(u)
+    noise = jnp.asarray(rng.normal(0., 0.8, (batch, n)),
+                        jnp.float32)
+    llr = (2.0 * c - 1.0) * 4.0 + noise
+    fn = dec
+    if use_jit:
+        fn = jax.jit(lambda x: dec(x))
+    u_hat = np.asarray(fn(llr))
+    # reference decisions: the default segment engine, eager, single
+    enc0 = LDPC5GEncoder(k, n)
+    dec0 = LDPC5GDecoder(enc0, hard_out=True, num_iter=10,
+                         cn_update="minsum", engine="segment")
+    u_ref = np.asarray(dec0(llr))
+    np.testing.assert_array_equal(u_hat, u_ref)
