@@ -1,8 +1,9 @@
 """BASELINE config 4: ray-traced paths and a radio coverage map.
 
-Solves propagation paths (LoS + specular reflections) in a
-street-canyon scene, prints the CIR, and computes a radio map; the
-paths also feed the PHY layer via CIRDataset.
+Solves propagation paths (LoS + specular reflections + first-order
+UTD wedge diffraction + diffuse scattering) in a street-canyon scene,
+prints the CIR, and computes a radio map; the paths also feed the PHY
+layer via CIRDataset.
 
 Usage:  python examples/04_rt_coverage_map.py
 """
@@ -32,16 +33,23 @@ def main():
     scene.add(Transmitter("tx", [-20., 0., 10.]))
     scene.add(Receiver("rx", [20., 5., 1.5]))
 
+    # make the concrete surfaces slightly rough so diffuse
+    # scattering contributes paths
+    scene.get("itu_concrete").scattering_coefficient = 0.3
+
     solver = PathSolver()
     paths = solver(scene, max_depth=2 if FAST else 3,
-                   samples_per_src=5_000 if FAST else 50_000)
+                   samples_per_src=5_000 if FAST else 50_000,
+                   diffraction=True, diffuse_reflection=True,
+                   diffuse_samples=256 if FAST else 2048)
     a, tau = paths.cir(out_type="numpy")
-    v = np.abs(a[0, 0, 0, 0, :, 0]) > 0
-    print(f"paths found: {int(v.sum())}")
-    order = np.argsort(tau[0, 0][v])
+    amps = np.abs(a[0, 0, 0, 0, :, 0])
+    v = amps > 0
+    print(f"paths found: {int(v.sum())} "
+          f"(incl. diffracted + scattered)")
+    order = np.argsort(-amps[v])[:12]      # strongest 12
     for d, g in zip(tau[0, 0][v][order] * 3e8,
-                    20 * np.log10(np.abs(a[0, 0, 0, 0, :, 0][v][order])
-                                  + 1e-30)):
+                    20 * np.log10(amps[v][order] + 1e-30)):
         print(f"  path length {d:7.2f} m  gain {g:7.2f} dB")
 
     rm_solver = RadioMapSolver()
