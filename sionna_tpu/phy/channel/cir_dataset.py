@@ -57,6 +57,9 @@ class CIRDataset(ChannelModel):
             a, tau = self._next()
             a_list.append(np.asarray(a))
             tau_list.append(np.asarray(tau))
-        a = jnp.asarray(np.stack(a_list), self.cdtype)
+        # complex host->device transfer via split parts (some TPU
+        # transfer layers do not implement complex device_put)
+        from ..utils.tensors import put_complex
+        a = put_complex(np.stack(a_list), self.cdtype)
         tau = jnp.asarray(np.stack(tau_list), self.rdtype)
         return a, tau

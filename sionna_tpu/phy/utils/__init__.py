@@ -5,7 +5,8 @@ from .tensors import (
     expand_to_rank, insert_dims, flatten_dims, flatten_last_dims,
     split_dim, diag_part_axis, matrix_diag_part, flatten_multi_index,
     gather_from_batched_indices, tensor_values_are_in_set,
-    random_tensor_from_values, enumerate_indices, find_true_position)
+    random_tensor_from_values, enumerate_indices, find_true_position,
+    put_complex)
 from .metrics import (
     compute_ber, compute_ser, compute_bler, count_errors,
     count_block_errors)

@@ -7,8 +7,28 @@ static (Python ints) as required by XLA.
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import config
+
+
+@jax.jit
+def _combine_complex(re, im):
+    return re + 1j * im
+
+
+def put_complex(x, dtype=jnp.complex64):
+    """Transfers a host complex array to the default device.
+
+    Some TPU transfer layers do not implement complex device_put;
+    real and imaginary parts are transferred separately and combined
+    in one tiny compiled program (complex values are fine ON device,
+    only the host<->device boundary is restricted)."""
+    x = np.asarray(x)
+    rdt = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+    re = jnp.asarray(np.ascontiguousarray(x.real), rdt)
+    im = jnp.asarray(np.ascontiguousarray(x.imag), rdt)
+    return _combine_complex(re, im).astype(dtype)
 
 
 def expand_to_rank(tensor, target_rank, axis=-1):
