@@ -12,3 +12,4 @@ from .antenna_array import PlanarArray, antenna_pattern
 from .radio_materials import RadioMaterial, ITU_MATERIALS
 from .solver import PathSolver, Paths
 from .radio_map import RadioMapSolver, RadioMap
+from .render import render

@@ -1,0 +1,148 @@
+"""Scene rendering (API parity with sionna.rt's Camera/render
+surface, SURVEY.md 2.12; fresh implementation).
+
+A minimal ray-cast renderer on the same dense chunked
+Moller-Trumbore intersector as the path solver: pinhole camera rays,
+Lambertian shading from a fixed sky light, per-material albedo,
+device markers.  Runs as one jitted program per (scene, resolution).
+"""
+
+import hashlib
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .solver import (nearest_hit, _tri_normals, _rot_matrix,
+                     _host_real_dtype)
+
+__all__ = ["render"]
+
+_SKY = np.array([0.72, 0.82, 0.92])
+_RENDER_CACHE = {}
+
+
+def _material_albedo(name):
+    """Deterministic pleasant albedo per material name."""
+    h = int(hashlib.blake2b(name.encode(),
+                            digest_size=4).hexdigest(), 16)
+    rng = np.random.default_rng(h)
+    base = 0.35 + 0.5 * rng.random(3)
+    if "metal" in name:
+        base = np.array([0.62, 0.64, 0.70])
+    elif "concrete" in name:
+        base = np.array([0.62, 0.60, 0.57])
+    elif "ground" in name or "wood" in name:
+        base = np.array([0.45, 0.38, 0.30])
+    elif "glass" in name:
+        base = np.array([0.55, 0.68, 0.75])
+    return base
+
+
+def render(scene, camera=None, resolution=(320, 240), fov=45.,
+           light_dir=(0.35, -0.25, 0.9)):
+    """Renders the scene from ``camera`` (or the first registered
+    camera) to an RGB image [h, w, 3] in [0, 1].
+
+    Transmitters render as red markers, receivers as green ones
+    (billboard spheres of ~1% of the scene diagonal)."""
+    if camera is None:
+        if not scene.cameras:
+            raise ValueError("The scene has no camera; add one or "
+                             "pass camera=")
+        camera = next(iter(scene.cameras.values()))
+    w, h = int(resolution[0]), int(resolution[1])
+    rd = _host_real_dtype()
+
+    # pinhole rays in the camera frame (+x forward, y left, z up)
+    rot = _rot_matrix(np.asarray(camera.orientation, np.float64))
+    tan = np.tan(np.deg2rad(fov) / 2.)
+    ys = np.linspace(tan, -tan, w)                  # image x -> -y
+    zs = np.linspace(tan * h / w, -tan * h / w, h)  # image y -> -z
+    yg, zg = np.meshgrid(ys, zs)                    # [h, w]
+    d_cam = np.stack([np.ones_like(yg), yg, zg], axis=-1)
+    d_world = d_cam @ rot.T
+    d_world /= np.linalg.norm(d_world, axis=-1, keepdims=True)
+    orig = np.broadcast_to(np.asarray(camera.position, np.float64),
+                           d_world.shape)
+
+    tri_np = np.asarray(scene.triangles)
+    has_geometry = tri_np.shape[0] > 0
+    mats = scene.triangle_materials if has_geometry else []
+    albedo = np.stack([_material_albedo(m.name) for m in mats]) \
+        if has_geometry else np.zeros((1, 3))
+
+    # device markers as billboard spheres
+    if has_geometry:
+        lo = tri_np.reshape(-1, 3).min(0)
+        hi = tri_np.reshape(-1, 3).max(0)
+        marker_r = max(float(np.linalg.norm(hi - lo)) * 0.008, 0.25)
+    else:
+        marker_r = 0.5
+    markers = []
+    for t in scene.transmitters.values():
+        markers.append((np.asarray(t.position), [0.85, 0.15, 0.1]))
+    for r in scene.receivers.values():
+        markers.append((np.asarray(r.position), [0.1, 0.7, 0.2]))
+
+    fp = hashlib.blake2b(digest_size=16)
+    fp.update(tri_np.tobytes())
+    fp.update(albedo.tobytes())
+    for p, c in markers:
+        fp.update(p.tobytes())
+        fp.update(np.asarray(c).tobytes())
+    fp.update(repr((w, h, fov, tuple(light_dir),
+                    tuple(camera.position),
+                    tuple(camera.orientation))).encode())
+    key = fp.hexdigest()
+
+    jitted = _RENDER_CACHE.get(key)
+    if jitted is None:
+        tri = jnp.asarray(tri_np.astype(rd))
+        normals = _tri_normals(tri) if has_geometry else None
+        alb = jnp.asarray(albedo.astype(rd))
+        light = np.asarray(light_dir, np.float64)
+        light = jnp.asarray((light / np.linalg.norm(light)
+                             ).astype(rd))
+
+        def prog(o, d):
+            o = o.reshape(-1, 3)
+            d = d.reshape(-1, 3)
+            if has_geometry:
+                t_min, idx, hit = nearest_hit(o, d, tri)
+                n = normals[idx]
+                n = jnp.where(
+                    jnp.sum(n * d, -1, keepdims=True) > 0, -n, n)
+                lam = jnp.abs(jnp.sum(n * light, -1))
+                shade = (0.35 + 0.65 * lam)[:, None] * alb[idx]
+            else:
+                t_min = jnp.full((o.shape[0],), jnp.inf, o.dtype)
+                hit = jnp.zeros((o.shape[0],), bool)
+                shade = jnp.zeros((o.shape[0], 3), o.dtype)
+            img = jnp.where(hit[:, None], shade,
+                            jnp.asarray(_SKY.astype(np.float64)
+                                        .astype(o.dtype)))
+            depth = jnp.where(hit, t_min, jnp.inf)
+            # ray-sphere tests for device markers
+            for p, c in markers:
+                pc = jnp.asarray(p.astype(np.float64).astype(o.dtype))
+                oc = o - pc
+                b = jnp.sum(oc * d, -1)
+                disc = b ** 2 - (jnp.sum(oc * oc, -1) - marker_r ** 2)
+                t_hit = -b - jnp.sqrt(jnp.maximum(disc, 0.))
+                m_hit = (disc > 0.) & (t_hit > 0.) & (t_hit < depth)
+                img = jnp.where(m_hit[:, None],
+                                jnp.asarray(np.asarray(c, np.float64)
+                                            .astype(o.dtype)), img)
+                depth = jnp.where(m_hit, t_hit, depth)
+            return img.astype(jnp.float32)
+
+        jitted = jax.jit(prog)
+        if len(_RENDER_CACHE) > 16:
+            _RENDER_CACHE.pop(next(iter(_RENDER_CACHE)))
+        _RENDER_CACHE[key] = jitted
+
+    img = jitted(jnp.asarray(orig.astype(rd)),
+                 jnp.asarray(d_world.astype(rd)))
+    return np.asarray(img).reshape(h, w, 3)

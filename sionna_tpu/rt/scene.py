@@ -60,7 +60,8 @@ class Receiver(_RadioDevice):
 
 
 class Camera(_RadioDevice):
-    """Camera for scene preview rendering."""
+    """Camera for scene rendering; point it with ``look_at`` and pass
+    it to :meth:`Scene.render`."""
 
 
 class Scene:
@@ -173,6 +174,12 @@ class Scene:
             else triangle_ids
         for i in ids:
             self._tri_material_names[i] = material_name
+
+    def render(self, camera=None, resolution=(320, 240), fov=45.):
+        """Ray-cast RGB rendering of the scene (see
+        sionna_tpu.rt.render.render)."""
+        from .render import render as _render
+        return _render(self, camera, resolution=resolution, fov=fov)
 
     def __repr__(self):
         return (f"Scene(name={self.name!r}, "

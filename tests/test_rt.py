@@ -279,3 +279,28 @@ def test_chunked_intersection_equivalence():
     b2 = any_blocking_hit(orig, dirs, tri, excl_ids=excl,
                           max_elems=10_000)
     np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+
+
+def test_scene_render():
+    """Ray-cast rendering: geometry, shading, sky, device markers."""
+    from sionna_tpu.rt import Camera
+    sc = load_scene("simple_street_canyon")
+    sc.add(Transmitter("tx", [0., 0., 30.]))   # above the street
+    cam = Camera("cam", [0., -120., 80.])
+    cam.look_at([0., 0., 10.])
+    sc.add(cam)
+    img = sc.render(resolution=(160, 120))
+    assert img.shape == (120, 160, 3)
+    assert img.min() >= 0. and img.max() <= 1.
+    sky = np.all(np.isclose(img, [0.72, 0.82, 0.92], atol=1e-3),
+                 axis=-1)
+    # both sky and geometry visible
+    assert 0.02 < sky.mean() < 0.98
+    # the TX marker (flat red) is visible from this viewpoint
+    assert (np.abs(img - [0.85, 0.15, 0.1]).sum(-1) < 1e-3).any()
+    # empty scene renders pure sky
+    from sionna_tpu.rt.scene import Scene
+    empty = Scene(name="empty")
+    empty.add(cam)
+    img2 = empty.render(resolution=(32, 24))
+    assert np.all(np.isclose(img2, [0.72, 0.82, 0.92], atol=1e-3))
