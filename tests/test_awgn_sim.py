@@ -166,3 +166,49 @@ def test_sim_ber_checkpoint_resume(tmp_path):
     st2 = np.load(ck, allow_pickle=True)
     assert list(st2["iters"]) == [4, 4]
     assert np.isfinite(np.asarray(ber2)).all()
+
+
+def test_trainable_constellation_learning():
+    """End-to-end learning (reference
+    test/integration/test_rx_tx_learning.py pattern): optimize
+    constellation points against the demapper BCE through an AWGN
+    channel with optax; evaluated on a held-out batch, the loss must
+    decrease and the geometry must actually move."""
+    import optax
+    from sionna_tpu.phy import BinarySource, Mapper, Demapper, AWGN
+    from sionna_tpu.phy.mapping import Constellation
+    from sionna_tpu.phy.utils import ebnodb2no
+
+    nbps = 4
+    const = Constellation("qam", nbps)
+    points0 = jnp.asarray(const.points)
+    src_blk, awgn = BinarySource(), AWGN()
+    mapper = Mapper(constellation=const)
+    demapper = Demapper("app", constellation=const)
+    no = ebnodb2no(5.0, nbps, 1.0)
+
+    def loss_fn(points, key):
+        k1, k2 = jax.random.split(key)
+        b = src_blk([512, 256], key=k1)
+        # unit average energy, like the trainable reference
+        pts = points / jnp.sqrt(jnp.mean(jnp.abs(points) ** 2))
+        y = awgn(mapper(b, points=pts), no, key=k2)
+        llr = demapper(y, no, points=pts)
+        return jnp.mean(jnp.log1p(jnp.exp(-(2 * b - 1) * llr)))
+
+    eval_key = jax.random.PRNGKey(1234)
+    eval_loss = jax.jit(lambda p: loss_fn(p, eval_key))
+    vg = jax.jit(jax.value_and_grad(loss_fn))
+
+    opt = optax.adam(2e-2)
+    state = opt.init(points0)
+    points = points0
+    loss_before = float(eval_loss(points0))
+    for i in range(60):
+        _, g = vg(points, jax.random.fold_in(jax.random.PRNGKey(5), i))
+        # complex parameters: descend along the conjugate gradient
+        updates, state = opt.update(jnp.conj(g), state)
+        points = optax.apply_updates(points, updates)
+    loss_after = float(eval_loss(points))
+    assert loss_after < loss_before - 1e-4, (loss_before, loss_after)
+    assert float(jnp.max(jnp.abs(points - points0))) > 1e-3
