@@ -289,7 +289,7 @@ class Paths:
     host math."""
 
     def __init__(self, a, tau, valid, theta_t, phi_t, theta_r, phi_r,
-                 doppler, interactions):
+                 doppler, interactions, types=None):
         self.a = a
         self.tau = tau
         self.valid = valid
@@ -299,6 +299,10 @@ class Paths:
         self.phi_r = phi_r
         self.doppler = doppler
         self.interactions = interactions
+        # [num_paths] interaction type per path: 0 LoS, 1 specular,
+        # 2 diffracted, 3 scattered (upstream InteractionType codes)
+        self.types = (types if types is not None
+                      else np.zeros(self.a.shape[-1], np.int32))
 
     @property
     def num_paths(self):
@@ -537,13 +541,27 @@ class PathSolver:
                      1000 * r.get("kind", 0)
                      + r["interactions"].shape[1])
              for r in results])
+        # per-path interaction type (upstream InteractionType codes:
+        # 0 none/LoS, 1 specular, 2 diffracted, 3 scattered)
+        def _type_code(r):
+            kind = r.get("kind", 0)
+            if kind == 1:
+                return 2          # diffracted
+            if kind == 2:
+                return 3          # scattered
+            return 1 if r["interactions"].shape[1] > 0 else 0
+
+        types = np.concatenate(
+            [np.full(r["interactions"].shape[0], _type_code(r),
+                     np.int32) for r in results])
         paths = Paths(
             a=a,
             tau=cat("tau"), valid=cat("valid"),
             theta_t=cat("theta_t"), phi_t=cat("phi_t"),
             theta_r=cat("theta_r"), phi_r=cat("phi_r"),
             doppler=cat("doppler"),
-            interactions=np.concatenate(inter, axis=0))
+            interactions=np.concatenate(inter, axis=0),
+            types=types)
         self._deduplicate(paths, depths)
         return paths
 

@@ -313,3 +313,46 @@ def test_energy_split_specular_plus_diffuse():
     p_rough = refl_power(0.6)
     np.testing.assert_allclose(p_rough / p_smooth, 1 - 0.6 ** 2,
                                rtol=1e-3)
+
+
+def test_multi_tx_rx_with_all_interactions():
+    """Two TX and two RX with LoS + reflections + diffraction +
+    scattering: exercises the [paths, tx, rx] broadcasting of every
+    eval stage; symmetric geometry gives symmetric strongest paths,
+    and paths.types labels each interaction kind."""
+    # rough ground plane + a small central metal screen: every
+    # interaction type contributes on every link (LoS clears the
+    # screen at |y| = 10, the ground bounce reflects, the screen
+    # edges diffract, the rough ground scatters)
+    tris = _quad([-60., -60., 0.], [60., -60., 0.],
+                 [60., 60., 0.], [-60., 60., 0.])
+    tris += _quad([0., -5., 0.], [0., 5., 0.],
+                  [0., 5., 15.], [0., -5., 15.])
+    sc = _iso_scene(tris, ["itu_concrete"] * 2 + ["itu_metal"] * 2)
+    sc.get("itu_concrete").scattering_coefficient = 0.5
+    sc.add(Transmitter("tx0", [-30., -10., 10.]))
+    sc.add(Transmitter("tx1", [-30., 10., 10.]))
+    sc.add(Receiver("rx0", [30., -10., 5.]))
+    sc.add(Receiver("rx1", [30., 10., 5.]))
+    paths = PathSolver()(sc, max_depth=1, samples_per_src=2000,
+                         diffraction=True, diffuse_reflection=True,
+                         diffuse_samples=512, seed=9)
+    a = np.asarray(paths.a)          # [rx, ra, tx, ta, P]
+    valid = np.asarray(paths.valid)  # [rx, tx, P]
+    assert a.shape[0] == 2 and a.shape[2] == 2
+    # every link has paths (diffraction around the screen at least)
+    assert (valid.sum(axis=-1) >= 1).all()
+    types = np.asarray(paths.types)
+    assert types.shape == (paths.num_paths,)
+    present = {int(t) for t in np.unique(
+        np.broadcast_to(types, valid.shape)[valid])}
+    assert 2 in present                # diffraction present
+    assert 3 in present                # scattering present
+    # mirror symmetry in y: strongest path power of (rx0, tx0)
+    # matches (rx1, tx1), and (rx0, tx1) matches (rx1, tx0)
+    p = np.abs(a[:, 0, :, 0, :]) ** 2     # [rx, tx, P]
+    strongest = p.max(axis=-1)
+    np.testing.assert_allclose(strongest[0, 0], strongest[1, 1],
+                               rtol=1e-3)
+    np.testing.assert_allclose(strongest[0, 1], strongest[1, 0],
+                               rtol=1e-3)
