@@ -649,7 +649,9 @@ class LDPC5GDecoder(LDPCBPDecoder):
             self._nb_pruned_nodes = 0
             self._n_pruned = encoder.n_ldpc
 
-        if isinstance(cn_schedule, str) and cn_schedule == "layered":
+        is_layered_str = (isinstance(cn_schedule, str)
+                          and cn_schedule == "layered")
+        if is_layered_str:
             # one layer per lifted base row (Z check nodes each)
             z = encoder.z
             num_cns = pcm.shape[0]
@@ -671,15 +673,17 @@ class LDPC5GDecoder(LDPCBPDecoder):
         if self._use_pallas:
             engine = "lifted"
         self._use_lifted = engine == "lifted"
+        self._lifted_layered = self._use_lifted and is_layered_str
         if self._use_lifted:
             if not isinstance(cn_update, str) or cn_update not in (
                     "minsum", "offset-minsum", "boxplus",
-                    "boxplus-phi") or cn_schedule != "flooding":
+                    "boxplus-phi") or not (
+                    cn_schedule == "flooding" or is_layered_str):
                 raise ValueError(
                     "engine='lifted'/'pallas' supports the built-in "
                     "CN updates ('minsum', 'offset-minsum', "
-                    "'boxplus', 'boxplus-phi') with the flooding "
-                    "schedule")
+                    "'boxplus', 'boxplus-phi') with the flooding or "
+                    "layered schedule")
             if return_state:
                 raise ValueError(
                     "engine='lifted'/'pallas' does not keep per-edge "
@@ -743,8 +747,11 @@ class LDPC5GDecoder(LDPCBPDecoder):
             n_it = self._num_iter if num_iter is None else num_iter
             llr_int = -jnp.clip(llr_5g, -self._llr_max, self._llr_max)
             if self._use_pallas:
-                marg = _lifted_pallas_decode(self._lifted, llr_int,
-                                             n_it)
+                marg = _lifted_pallas_decode(
+                    self._lifted, llr_int, n_it,
+                    layered=self._lifted_layered)
+            elif self._lifted_layered:
+                marg = self._lifted.decode_layered(llr_int, n_it)
             else:
                 marg = self._lifted.decode(llr_int, n_it)
             llr_out = -marg
@@ -955,6 +962,61 @@ class LDPC5GLiftedBP:
         out = jnp.transpose(marg, (1, 0, 2)).reshape(batch, -1)
         return out[:, :self._num_vns]
 
+    def decode_layered(self, llr_int, num_iter):
+        """Layered (serial-C) schedule in the lifted domain: base
+        rows are processed sequentially within an iteration, each
+        row's new check messages updating the posterior immediately —
+        converges in roughly half the iterations of flooding.
+
+        llr_int: [batch, num_vns] classic-convention LLRs.  Returns
+        marginals [batch, num_vns]."""
+        z = self._z
+        batch = llr_int.shape[0]
+        dtype = llr_int.dtype
+        clip = self._llr_max
+        pad = self._n_col_blocks * z - self._num_vns
+        llr_p = jnp.concatenate(
+            [llr_int, jnp.zeros((batch, pad), dtype)], axis=1)
+        llr_vn = jnp.transpose(
+            llr_p.reshape(batch, self._n_col_blocks, z), (1, 0, 2))
+
+        edges = self._edges
+        row_edges = self._row_edges
+        masks = [jnp.asarray(m, dtype) for m in self._edge_mask]
+        n_e = len(edges)
+
+        # only c2v messages are clipped (inside _lifted_cn_phase):
+        # clipping the running posterior or the extrinsic difference
+        # breaks the marg/c2v bookkeeping and diverges (matches the
+        # segment layered engine's semantics)
+        marg0 = tuple(llr_vn[c] for c in range(self._n_col_blocks))
+        c2v0 = tuple(jnp.zeros((batch, z), dtype)
+                     for _ in range(n_e))
+
+        def body(it, state):
+            marg, c2v = state
+            marg = list(marg)
+            c2v = list(c2v)
+            for r, eids in row_edges.items():
+                v2c = [None] * n_e
+                for e in eids:
+                    _, c, s = edges[e]
+                    v2c[e] = jnp.roll(marg[c], -s, axis=-1) - c2v[e]
+                c2v_new = _lifted_cn_phase(
+                    v2c, masks, {r: eids}, n_e, dtype, clip,
+                    self._offset, self._cn_mode)
+                for e in eids:
+                    _, c, s = edges[e]
+                    delta = c2v_new[e] - c2v[e]
+                    marg[c] = marg[c] + jnp.roll(delta, s, axis=-1)
+                    c2v[e] = c2v_new[e]
+            return tuple(marg), tuple(c2v)
+
+        marg, _ = jax.lax.fori_loop(0, num_iter, body, (marg0, c2v0))
+        out = jnp.transpose(jnp.stack(marg), (1, 0, 2)
+                            ).reshape(batch, -1)
+        return out[:, :self._num_vns]
+
 
 def _zroll(x, shift, z):
     """jnp.roll that elides zero shifts (Mosaic rejects the empty
@@ -966,7 +1028,7 @@ def _zroll(x, shift, z):
 
 
 def _lifted_pallas_decode(lifted, llr_int, num_iter, batch_tile=None,
-                          interpret=None):
+                          interpret=None, layered=False):
     """Runs the lifted BP iteration as ONE fused Pallas kernel per
     batch tile — all ``num_iter`` iterations execute with the message
     state resident in VMEM, eliminating per-iteration HBM round trips.
@@ -1052,20 +1114,51 @@ def _lifted_pallas_decode(lifted, llr_int, num_iter, batch_tile=None,
         def rd(e):
             return v2c_ref[:, e * zp:e * zp + z]
 
-        for ei, (r, c, s) in enumerate(edges):
-            v2c_ref[:, ei * zp:ei * zp + z] = _zroll(
-                jnp.clip(llr[c], -clip, clip), -s, z)
-        for c in range(n_cols):  # num_iter == 0 → marginals = inputs
-            out_ref[:, c * z:(c + 1) * z] = llr[c]
-
-        def body(it, tok):
-            c2v = cn_phase([rd(e) for e in range(n_e)])
-            v2c_new, marg = vn_phase(c2v)
-            for e in range(n_e):
-                v2c_ref[:, e * zp:e * zp + z] = v2c_new[e]
+        if layered:
+            # layered (serial-C): out_ref holds the running posterior,
+            # v2c_ref the per-edge check messages (start at zero)
+            bt = llr_ref.shape[0]
+            for ei in range(n_e):
+                v2c_ref[:, ei * zp:ei * zp + z] = jnp.zeros(
+                    (bt, z), dtype)
             for c in range(n_cols):
-                out_ref[:, c * z:(c + 1) * z] = marg[c]
-            return tok
+                out_ref[:, c * z:(c + 1) * z] = llr[c]
+
+            # only c2v is clipped (inside _lifted_cn_phase); clipping
+            # the posterior/extrinsic breaks the bookkeeping
+            def body(it, tok):
+                for r, eids in row_edges.items():
+                    v2c_row = [None] * n_e
+                    for e in eids:
+                        _, c, s = edges[e]
+                        m = out_ref[:, c * z:(c + 1) * z]
+                        v2c_row[e] = _zroll(m, -s, z) - rd(e)
+                    c2v_new = _lifted_cn_phase(
+                        v2c_row, masks, {r: eids}, n_e, dtype, clip,
+                        offset, cn_mode)
+                    for e in eids:
+                        _, c, s = edges[e]
+                        delta = c2v_new[e] - rd(e)
+                        out_ref[:, c * z:(c + 1) * z] = (
+                            out_ref[:, c * z:(c + 1) * z]
+                            + _zroll(delta, s, z))
+                        v2c_ref[:, e * zp:e * zp + z] = c2v_new[e]
+                return tok
+        else:
+            for ei, (r, c, s) in enumerate(edges):
+                v2c_ref[:, ei * zp:ei * zp + z] = _zroll(
+                    jnp.clip(llr[c], -clip, clip), -s, z)
+            for c in range(n_cols):  # num_iter == 0 -> marginals = in
+                out_ref[:, c * z:(c + 1) * z] = llr[c]
+
+            def body(it, tok):
+                c2v = cn_phase([rd(e) for e in range(n_e)])
+                v2c_new, marg = vn_phase(c2v)
+                for e in range(n_e):
+                    v2c_ref[:, e * zp:e * zp + z] = v2c_new[e]
+                for c in range(n_cols):
+                    out_ref[:, c * z:(c + 1) * z] = marg[c]
+                return tok
 
         # loop bounds and token carry must be i32: with
         # jax_enable_x64 Python ints become i64 scalars, which Mosaic
