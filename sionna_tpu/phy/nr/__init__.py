@@ -15,4 +15,5 @@ from .pusch_transmitter import PUSCHTransmitter
 from .pusch_receiver import PUSCHReceiver
 from . import utils
 from .utils import (generate_prng_seq, decode_mcs_index,
-                    calculate_tb_size, calculate_num_coded_bits)
+                    decode_mcs_index_jit, calculate_tb_size,
+                    calculate_cb_size_jit, calculate_num_coded_bits)

@@ -213,3 +213,28 @@ def test_dmrs_grid_reference():
     nz = grid[0][np.abs(grid[0]) > 0]
     np.testing.assert_allclose(np.abs(nz), pc.dmrs.beta / np.sqrt(2)
                                * np.sqrt(2), rtol=1e-6)
+
+
+def test_mcs_tb_jit_paths_match_numpy():
+    """The traceable MCS/TB-quantization variants used by the jitted
+    SYS loop are exactly equal to the validated NumPy paths over the
+    full MCS range and both single- and multi-CB sizes."""
+    from sionna_tpu.phy.nr import (decode_mcs_index,
+                                   decode_mcs_index_jit,
+                                   calculate_tb_size,
+                                   calculate_cb_size_jit)
+    mcs = np.arange(0, 28)
+    m_np, r_np = decode_mcs_index(mcs, table_index=1, is_pusch=True,
+                                  transform_precoding=True)
+    m_j, r_j = jax.jit(decode_mcs_index_jit)(
+        jnp.asarray(mcs), 1, True, True)
+    np.testing.assert_array_equal(np.asarray(m_j), m_np)
+    np.testing.assert_allclose(np.asarray(r_j), r_np, rtol=1e-6)
+    for base in (480, 5040):
+        nc = base * m_np
+        _, cb_np, ncb_np, *_ = calculate_tb_size(
+            m_np, r_np, num_coded_bits=nc, return_cw_length=False)
+        cb_j, ncb_j = jax.jit(calculate_cb_size_jit)(
+            jnp.asarray(m_np), jnp.asarray(r_np), jnp.asarray(nc))
+        np.testing.assert_array_equal(np.asarray(cb_j), cb_np)
+        np.testing.assert_array_equal(np.asarray(ncb_j), ncb_np)
