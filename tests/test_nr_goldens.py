@@ -152,9 +152,12 @@ def test_tb_encoder_against_reference(path):
 # Full 84-waveform PUSCH transmitter sweep (slow)
 # --------------------------------------------------------------- #
 
+# ids with BOTH config and stored waveform (the reference corpus
+# ships test_83.json without a test_83.npy)
 _ALL_IDS = sorted(
     int(os.path.basename(p)[5:-5]) for p in
-    glob.glob(os.path.join(NR_DIR, "pusch_test_configs", "*.json")))
+    glob.glob(os.path.join(NR_DIR, "pusch_test_configs", "*.json"))
+    if os.path.isfile(p[:-5] + ".npy"))
 # the fast subset already covered in every CI run by tests/test_nr.py
 _FAST_SUBSET = {0, 5, 11, 19, 27, 35, 43, 51, 59, 67, 75, 82}
 
