@@ -321,7 +321,9 @@ def bench_rt():
     city.rx_array = PlanarArray(1, 1, pattern="iso", polarization="V")
     city.add(Transmitter("tx", [0., 0., 30.]))
     city.add(Receiver("rx", [0., 32., 1.5]))   # street intersection
-    c_samples, c_depth = 20_000, 2
+    # 100k rays x depth 2 over 100k triangles: the clustered accel
+    # structure (rt/accel.py) makes this the throughput sweet spot
+    c_samples, c_depth = 100_000, 2
     solver(city, max_depth=c_depth, samples_per_src=c_samples)
     t0 = time.perf_counter()
     paths = solver(city, max_depth=c_depth,

@@ -14,8 +14,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .accel import build_accel
 from .solver import (nearest_hit, _tri_normals, _rot_matrix,
-                     _host_real_dtype)
+                     _host_real_dtype, ACCEL_MIN_TRIS)
 
 __all__ = ["render"]
 
@@ -101,6 +102,8 @@ def render(scene, camera=None, resolution=(320, 240), fov=45.,
     if jitted is None:
         tri = jnp.asarray(tri_np.astype(rd))
         normals = _tri_normals(tri) if has_geometry else None
+        accel = (build_accel(tri_np.astype(rd))
+                 if tri_np.shape[0] >= ACCEL_MIN_TRIS else None)
         alb = jnp.asarray(albedo.astype(rd))
         light = np.asarray(light_dir, np.float64)
         light = jnp.asarray((light / np.linalg.norm(light)
@@ -110,7 +113,7 @@ def render(scene, camera=None, resolution=(320, 240), fov=45.,
             o = o.reshape(-1, 3)
             d = d.reshape(-1, 3)
             if has_geometry:
-                t_min, idx, hit = nearest_hit(o, d, tri)
+                t_min, idx, hit = nearest_hit(o, d, tri, accel=accel)
                 n = normals[idx]
                 n = jnp.where(
                     jnp.sum(n * d, -1, keepdims=True) > 0, -n, n)

@@ -22,11 +22,19 @@ import jax
 import jax.numpy as jnp
 
 from ..phy.constants import PI, SPEED_OF_LIGHT
+from .accel import (build_accel, nearest_hit_accel,
+                    any_blocking_hit_accel)
 from .diffraction import extract_wedges, utd_coefficients
 
 __all__ = ["PathSolver", "Paths"]
 
 _EPS = 1e-5
+
+# Scenes with at least this many triangles get the clustered
+# acceleration structure (native C++ build + dense cluster culling,
+# see accel.py); smaller scenes stay on the plain dense sweep whose
+# fixed overhead is lower.
+ACCEL_MIN_TRIS = 2048
 
 
 # ----------------------------------------------------------------------
@@ -124,11 +132,15 @@ def moller_trumbore(orig, dirs, tri):
     return t, hit
 
 
-def nearest_hit(orig, dirs, tri, max_elems=16_000_000):
+def nearest_hit(orig, dirs, tri, max_elems=16_000_000, accel=None):
     """Nearest intersection per ray, chunking over triangles so the
     [rays, triangles] workspace stays bounded for large scenes.
+    With ``accel`` (a TriangleAccel over the same ``tri``), the query
+    runs through the clustered culling structure instead.
 
     Returns (t_min [R], tri_idx [R], has_hit [R])."""
+    if accel is not None:
+        return nearest_hit_accel(orig, dirs, accel)
     num_rays = orig.shape[0]
     num_tri = tri.shape[0]
     if num_rays * num_tri <= max_elems:
@@ -164,10 +176,14 @@ def nearest_hit(orig, dirs, tri, max_elems=16_000_000):
 
 
 def any_blocking_hit(orig, dirs, tri, excl_ids=None,
-                     max_elems=16_000_000):
+                     max_elems=16_000_000, accel=None):
     """Whether each segment [orig, orig+dirs] intersects any triangle
     with ray parameter in (eps, 1-eps), ignoring triangles listed in
-    ``excl_ids`` [R, K]; chunked over triangles."""
+    ``excl_ids`` [R, K]; chunked over triangles.  With ``accel``, the
+    query runs through the clustered culling structure instead."""
+    if accel is not None:
+        return any_blocking_hit_accel(orig, dirs, accel,
+                                      excl_ids=excl_ids)
     num_rays = orig.shape[0]
     num_tri = tri.shape[0]
     chunk = num_tri if num_rays * num_tri <= max_elems \
@@ -202,7 +218,7 @@ def _tri_normals(tri):
     return _normalize(n)
 
 
-def _trace(tri, normals, orig, dirs, depth):
+def _trace(tri, normals, orig, dirs, depth, accel=None):
     """Traces rays through ``depth`` specular bounces.
 
     Returns hit-triangle ids [R, depth] (-1 once escaped)."""
@@ -210,7 +226,7 @@ def _trace(tri, normals, orig, dirs, depth):
 
     def body(carry, _):
         o, d, active = carry
-        t_min, idx, found = nearest_hit(o, d, tri)
+        t_min, idx, found = nearest_hit(o, d, tri, accel=accel)
         has_hit = found & active
         n = normals[idx]                               # [R, 3]
         # flip normal to face the incoming ray
@@ -378,6 +394,11 @@ class PathSolver:
         tri = jnp.asarray(scene.triangles.astype(rd))
         has_geometry = scene.num_triangles > 0
         normals = _tri_normals(tri) if has_geometry else None
+        # Clustered acceleration structure for large scenes (cached
+        # per geometry fingerprint; native C++ builder, see accel.py).
+        self._accel = (build_accel(scene.triangles.astype(rd))
+                       if scene.num_triangles >= ACCEL_MIN_TRIS
+                       else None)
 
         tx_pos = np.stack([t.position for t in txs]).astype(rd)
         rx_pos = np.stack([r.position for r in rxs]).astype(rd)
@@ -395,7 +416,8 @@ class PathSolver:
                 orig = jnp.broadcast_to(jnp.asarray(tx_pos[t]),
                                         dirs.shape)
                 rows.append(np.asarray(
-                    trace_fn(tri, normals, orig, dirs, max_depth)))
+                    trace_fn(tri, normals, orig, dirs, max_depth,
+                             self._accel)))
             ids = np.concatenate(rows, axis=0)         # [R, depth]
             # Vectorized prefix dedupe: unique length-d prefixes whose
             # entries are all real hits, shortest depths first, capped
@@ -449,7 +471,8 @@ class PathSolver:
                             arr.horizontal_spacing, arr.pattern,
                             arr.polarization)).encode())
         fp.update(repr((scene.frequency, tx_pos.shape,
-                        rx_pos.shape)).encode())
+                        rx_pos.shape,
+                        self._accel is not None)).encode())
         base_key = fp.hexdigest()
 
         results = []
@@ -679,8 +702,9 @@ class PathSolver:
                     excl_ids = jnp.broadcast_to(
                         excl[:, None, None, :],
                         (s_count, num_tx, num_rx, 2)).reshape(-1, 2)
-                blocked = any_blocking_hit(o, d, tri,
-                                           excl_ids=excl_ids)
+                blocked = any_blocking_hit(
+                    o, d, tri, excl_ids=excl_ids,
+                    accel=getattr(self, "_accel", None))
                 valid &= ~blocked.reshape(s_count, num_tx, num_rx)
 
         # --- Polarized field transfer (Jones matrix cascade)
@@ -984,11 +1008,12 @@ class PathSolver:
         ).reshape(-1, 2))
         o1 = jnp.broadcast_to(tx_pos[None, :, None],
                               q.shape).reshape(-1, 3)
+        accel = getattr(self, "_accel", None)
         blocked1 = any_blocking_hit(o1, s_i_vec.reshape(-1, 3), tri,
-                                    excl_ids=excl_b)
+                                    excl_ids=excl_b, accel=accel)
         blocked2 = any_blocking_hit(q.reshape(-1, 3),
                                     s_d_vec.reshape(-1, 3), tri,
-                                    excl_ids=excl_b)
+                                    excl_ids=excl_b, accel=accel)
         valid &= ~(blocked1 | blocked2).reshape(
             num_w, num_tx, num_rx)
 
@@ -1103,13 +1128,16 @@ class PathSolver:
         d1 = jnp.broadcast_to(
             -s1_vec[:, :, None],
             (num_samples, num_tx, num_rx, 3)).reshape(-1, 3)
-        blocked1 = any_blocking_hit(o1, -d1, tri, excl_ids=excl_b)
+        accel = getattr(self, "_accel", None)
+        blocked1 = any_blocking_hit(o1, -d1, tri, excl_ids=excl_b,
+                                    accel=accel)
         o2 = jnp.broadcast_to(
             p[:, None, None],
             (num_samples, num_tx, num_rx, 3)).reshape(-1, 3)
         d2 = jnp.broadcast_to(
             s2_vec, (num_samples, num_tx, num_rx, 3)).reshape(-1, 3)
-        blocked2 = any_blocking_hit(o2, d2, tri, excl_ids=excl_b)
+        blocked2 = any_blocking_hit(o2, d2, tri, excl_ids=excl_b,
+                                    accel=accel)
         valid &= ~(blocked1 | blocked2).reshape(
             num_samples, num_tx, num_rx)
 
