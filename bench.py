@@ -371,31 +371,47 @@ def bench_sys(n_slots=50):
 
     phy_abs = PHYAbstraction()
     olla = OuterLoopLinkAdaptation(phy_abs, num_ut, bler_target=0.1)
-    n_re = np.full((num_ut,), 1000)
-    n_re_j = jnp.asarray(n_re, jnp.int32)
-    rng = np.random.default_rng(0)
+    n_re_j = jnp.asarray(np.full((num_ut,), 1000), jnp.int32)
+    sinr_base_j = jnp.asarray(sinr_base, jnp.float32)
 
+    # The whole slot loop (fading draw -> OLLA -> ILLA search -> PHY
+    # abstraction -> HARQ feedback) is ONE lax.scan program: a single
+    # device launch per n_slots instead of per-slot host round trips
+    # (OLLA.step is the functional scan-fusable API).
     @jax.jit
-    def phy_step(mcs, sinr_eff, key):
-        bits, harq_j, *_ = phy_abs(mcs, sinr_eff=sinr_eff,
-                                   num_allocated_re=n_re_j, key=key)
-        return jnp.sum(bits), harq_j
+    def run_slots(state, key):
+        def body(carry, s):
+            state, harq = carry
+            kk = jax.random.fold_in(key, s)
+            k1, k2 = jax.random.split(kk)
+            sinr_eff = sinr_base_j * jax.random.exponential(
+                k1, (num_ut,), jnp.float32)
+            state, mcs = olla.step(state, n_re_j,
+                                   harq_feedback=harq,
+                                   sinr_eff=sinr_eff)
+            bits, harq_j, *_ = phy_abs(mcs, sinr_eff=sinr_eff,
+                                       num_allocated_re=n_re_j,
+                                       key=k2)
+            return (state, harq_j), jnp.sum(bits)
 
-    def slot(s, harq):
-        sinr_eff = sinr_base * rng.exponential(1., num_ut)
-        mcs = olla(n_re, harq_feedback=harq, sinr_eff=sinr_eff)
-        bits, harq_j = phy_step(
-            mcs, jnp.asarray(sinr_eff, jnp.float32),
-            jax.random.PRNGKey(100 + s))
-        return np.asarray(harq_j), int(bits)
+        harq0 = jnp.full((num_ut,), -1, jnp.int32)
+        (state, _), bits = jax.lax.scan(
+            body, (state, harq0), jnp.arange(n_slots))
+        return state, jnp.sum(bits)
 
-    harq, _ = slot(0, None)  # warmup/compile
+    state = olla.init_state()
+    _, b = run_slots(state, jax.random.PRNGKey(0))  # compile
+    int(b)
+    _, b = run_slots(state, jax.random.PRNGKey(1))  # warmup
+    int(b)
     t0 = time.perf_counter()
     tot_bits = 0
-    for s in range(1, n_slots + 1):
-        harq, bits = slot(s, harq)
-        tot_bits += bits
+    n_calls = 3
+    for c in range(n_calls):
+        state, b = run_slots(state, jax.random.PRNGKey(2 + c))
+        tot_bits += int(b)
     dt = time.perf_counter() - t0
+    n_slots = n_slots * n_calls
     assert tot_bits > 0
     return [{
         "metric": "sys_multicell_slots_per_s",

@@ -3,7 +3,10 @@
 
 ILLA is stateless and jittable.  OLLA keeps its SINR-offset state as
 host arrays (a slot-level control loop); each call returns the updated
-MCS selection.
+MCS selection.  For TPU-resident slot loops, ``OLLA.init_state`` /
+``OLLA.step`` expose the same update as a pure function whose state is
+a scan carry — an entire multi-slot adaptation loop then compiles to
+one XLA program (one device launch) instead of per-slot round trips.
 """
 
 import numpy as np
@@ -263,3 +266,58 @@ class OuterLoopLinkAdaptation(Block):
             jnp.asarray(num_allocated_re, jnp.int32),
             jnp.asarray(mcs_table_index, jnp.int32),
             jnp.asarray(mcs_category, jnp.int32))
+
+    # ------------------------------------------------------------------
+    # Functional (scan-fusable) API
+    # ------------------------------------------------------------------
+    def init_state(self):
+        """OLLA state as a pytree of device arrays for :meth:`step`:
+        ``(offset [..., num_ut], sinr_eff_db_last [..., num_ut])``.
+        Seeds from the current host-side state (so ``reset`` /
+        ``sinr_eff_db_last=...`` still control initialization)."""
+        return (jnp.asarray(self._offset, self.rdtype),
+                jnp.asarray(self._sinr_eff_db_last, self.rdtype))
+
+    def step(self, state, num_allocated_re, harq_feedback=None,
+             sinr_eff=None, mcs_table_index=1, mcs_category=0):
+        """One OLLA slot update as a PURE function of ``state`` — the
+        TPU-native hot path: traceable under ``jax.jit`` /
+        ``lax.scan``, so a whole multi-slot link-adaptation loop
+        (OLLA -> ILLA -> PHY abstraction -> HARQ) compiles to ONE
+        program instead of one host round trip per slot.  Numerics
+        match :meth:`call` exactly (same offset update, SINR tracking
+        and ILLA search).
+
+        state : ``(offset, sinr_eff_db_last)`` from
+            :meth:`init_state` or a previous ``step``.
+        harq_feedback : [..., num_ut] in {-1 (N/A), 0 (NACK),
+            1 (ACK)}; values are not validated under trace.
+
+        Returns ``((offset, sinr_eff_db_last), mcs_index)``.
+        """
+        offset, sinr_db_last = state
+        n_re = jnp.asarray(num_allocated_re, jnp.int32)
+        if harq_feedback is None:
+            harq_feedback = jnp.full(offset.shape, -1, jnp.int32)
+        else:
+            harq_feedback = jnp.asarray(harq_feedback, jnp.int32)
+
+        offset = jnp.where(
+            harq_feedback == 1, offset - self.delta_down,
+            jnp.where(harq_feedback == 0, offset + self._delta_up,
+                      offset))
+        offset = jnp.clip(offset, self._offset_min, self._offset_max)
+
+        if sinr_eff is not None:
+            sinr_eff = jnp.asarray(sinr_eff, self.rdtype)
+            sinr_db_last = jnp.where(
+                sinr_eff > 0,
+                10. * jnp.log10(jnp.maximum(sinr_eff, 1e-30)),
+                sinr_db_last)
+
+        sinr_eff_offset = 10. ** ((sinr_db_last - offset) / 10.)
+        mcs = self._illa(sinr_eff=sinr_eff_offset,
+                         num_allocated_re=n_re,
+                         mcs_table_index=mcs_table_index,
+                         mcs_category=mcs_category)
+        return (offset, sinr_db_last), mcs

@@ -35,6 +35,21 @@ def set_seed():
     yield
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules.
+
+    A full single-process suite run accumulates hundreds of XLA:CPU
+    executables; with that state the LLVM JIT deterministically
+    segfaults compiling one of the large lifted-LDPC programs
+    (reproduced at tests/test_nr_goldens.py::
+    test_tb_encoder_against_reference — the same program compiles
+    fine in a fresh process).  Clearing caches at module boundaries
+    keeps the compiler healthy and bounds memory."""
+    yield
+    jax.clear_caches()
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running tests (opt in with -m slow, "

@@ -185,6 +185,41 @@ def test_olla_offset_dynamics(phy_abs):
     assert mcs[0] < mcs[1]
 
 
+def test_olla_functional_step_matches_eager(phy_abs):
+    """The scan-fusable OLLA.step must reproduce the stateful eager
+    loop exactly (offsets and MCS decisions) over a slot sequence."""
+    num_ut, n_slots = 3, 12
+    rng = np.random.default_rng(5)
+    n_re = np.full((num_ut,), 300)
+    sinrs = rng.exponential(float(db_to_lin(10.)), (n_slots, num_ut))
+    harqs = rng.integers(-1, 2, (n_slots, num_ut)).astype(np.int32)
+
+    olla_e = OuterLoopLinkAdaptation(phy_abs, num_ut=num_ut,
+                                     bler_target=0.1, delta_up=1.)
+    mcs_eager = [np.asarray(olla_e(n_re, harq_feedback=harqs[s],
+                                   sinr_eff=sinrs[s]))
+                 for s in range(n_slots)]
+
+    olla_f = OuterLoopLinkAdaptation(phy_abs, num_ut=num_ut,
+                                     bler_target=0.1, delta_up=1.)
+    n_re_j = jnp.asarray(n_re, jnp.int32)
+
+    @jax.jit
+    def run(state, sinrs, harqs):
+        def body(state, xs):
+            sinr, harq = xs
+            return olla_f.step(state, n_re_j, harq_feedback=harq,
+                               sinr_eff=sinr)
+        return jax.lax.scan(body, state,
+                            (jnp.asarray(sinrs), jnp.asarray(harqs)))
+
+    (off, _), mcs_scan = run(olla_f.init_state(), sinrs, harqs)
+    np.testing.assert_array_equal(np.stack(mcs_eager),
+                                  np.asarray(mcs_scan))
+    np.testing.assert_allclose(np.asarray(off), olla_e.offset,
+                               rtol=1e-6)
+
+
 # ----------------------------------------------------------------------
 # Scheduling
 # ----------------------------------------------------------------------
