@@ -56,23 +56,39 @@ def main():
     olla = OuterLoopLinkAdaptation(phy_abs, num_ut, bler_target=0.1)
     n_re = np.full((num_ut,), 1000)
 
-    harq = None
-    tot_bits = 0
-    rng = np.random.default_rng(0)
+    # The whole slot loop (fading draw -> OLLA -> ILLA -> PHY
+    # abstraction -> HARQ feedback) compiles to ONE device program:
+    # OLLA.step is the scan-fusable functional form of olla(...)
+    n_re_j = jnp.asarray(n_re, jnp.int32)
+    base_j = jnp.asarray(sinr_eff_base, jnp.float32)
+
+    @jax.jit
+    def run_slots(state, key):
+        def body(carry, s):
+            state, harq = carry
+            k1, k2 = jax.random.split(jax.random.fold_in(key, s))
+            sinr_eff = base_j * jax.random.exponential(
+                k1, (num_ut,), jnp.float32)
+            state, mcs = olla.step(state, n_re_j, harq_feedback=harq,
+                                   sinr_eff=sinr_eff)
+            bits, harq, *_ = phy_abs(mcs, sinr_eff=sinr_eff,
+                                     num_allocated_re=n_re_j, key=k2)
+            return (state, harq), (jnp.sum(bits),
+                                   jnp.sum(harq == 1))
+
+        harq0 = jnp.full((num_ut,), -1, jnp.int32)
+        (state, _), (bits, acks) = jax.lax.scan(
+            body, (state, harq0), jnp.arange(n_slots))
+        return state, bits, acks
+
+    _, bits, acks = run_slots(olla.init_state(),
+                              jax.random.PRNGKey(100))
+    bits, acks = np.asarray(bits), np.asarray(acks)
     for s in range(n_slots):
-        fading = rng.exponential(1., num_ut)
-        sinr_eff = sinr_eff_base * fading
-        mcs = olla(n_re, harq_feedback=harq, sinr_eff=sinr_eff)
-        bits, harq_j, se, tbler, bler = phy_abs(
-            jnp.asarray(np.asarray(mcs)), sinr_eff=jnp.asarray(sinr_eff),
-            num_allocated_re=jnp.asarray(n_re),
-            key=jax.random.PRNGKey(100 + s))
-        harq = np.asarray(harq_j)
-        tot_bits += int(jnp.sum(bits))
-        acked = int((harq == 1).sum())
-        print(f"slot {s:3d}: {acked}/{num_ut} ACK, "
-              f"{int(jnp.sum(bits)) / 1e3:.1f} kbit delivered")
-    print(f"total: {tot_bits / 1e6:.2f} Mbit over {n_slots} slots")
+        print(f"slot {s:3d}: {int(acks[s])}/{num_ut} ACK, "
+              f"{bits[s] / 1e3:.1f} kbit delivered")
+    print(f"total: {bits.sum() / 1e6:.2f} Mbit over {n_slots} slots "
+          f"(one fused XLA program)")
 
 
 if __name__ == "__main__":
