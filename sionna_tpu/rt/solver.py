@@ -588,6 +588,111 @@ class PathSolver:
         self._deduplicate(paths, depths)
         return paths
 
+    def trace_functional(self, scene, max_depth=3,
+                         samples_per_src=20000,
+                         max_num_paths_per_src=100000, los=True,
+                         seed=41):
+        """Differentiable functional view of the LoS+specular solver
+        (upstream parity: Sionna RT is a differentiable ray tracer;
+        SURVEY.md 2.12).
+
+        Candidate path discovery (shoot-and-bounce + prefix dedupe)
+        runs once against the CURRENT scene geometry; the returned
+        pure function re-evaluates the image-method refinement,
+        occlusion, polarized Fresnel cascade and array responses for
+        given device positions and per-triangle materials:
+
+        ``fn(tx_pos [num_tx, 3], rx_pos [num_rx, 3],
+        eta [num_tri] complex, scat [num_tri]) ->
+        (a [rx, rx_ant, tx, tx_ant, P] complex,
+        tau [rx, tx, P], valid [rx, tx, P])``
+
+        ``fn`` is jittable and differentiable w.r.t. every argument
+        (transmitter/receiver placement, complex relative
+        permittivity, scattering coefficient), enabling
+        gradient-based scene optimization (coverage shaping, material
+        calibration) under ``jax.grad`` on the TPU.  Geometry
+        (triangles) and the discovered candidate set are baked:
+        gradients hold for perturbations that do not change path
+        topology (occlusion/validity masks are booleans with zero
+        gradient, as in the upstream solver).  On TPU remember the
+        tunnel cannot transfer complex arrays — build ``eta`` inside
+        jit (e.g. ``eta_re + 1j * eta_im``).
+
+        Returns ``(fn, (tx_pos, rx_pos, eta, scat))`` with the
+        arguments at their current scene values.
+        """
+        tx_names = list(scene.transmitters)
+        rx_names = list(scene.receivers)
+        if not tx_names or not rx_names:
+            raise ValueError(
+                "The scene must contain at least one transmitter and "
+                "one receiver")
+        txs = [scene.transmitters[n] for n in tx_names]
+        rxs = [scene.receivers[n] for n in rx_names]
+        if scene.tx_array is None or scene.rx_array is None:
+            raise ValueError(
+                "scene.tx_array and scene.rx_array must be set")
+
+        rd = _host_real_dtype()
+        idt = _host_int_dtype()
+        tri = jnp.asarray(scene.triangles.astype(rd))
+        has_geometry = scene.num_triangles > 0
+        normals = _tri_normals(tri) if has_geometry else None
+        self._accel = (build_accel(scene.triangles.astype(rd))
+                       if scene.num_triangles >= ACCEL_MIN_TRIS
+                       else None)
+        tx_pos = np.stack([t.position for t in txs]).astype(rd)
+        rx_pos = np.stack([r.position for r in rxs]).astype(rd)
+
+        sequences = [np.zeros((1, 0), idt)] if los else []
+        if has_geometry and max_depth > 0:
+            dirs = jnp.asarray(
+                _fibonacci_sphere(samples_per_src).astype(rd))
+            rows = []
+            for t in range(tx_pos.shape[0]):
+                orig = jnp.broadcast_to(jnp.asarray(tx_pos[t]),
+                                        dirs.shape)
+                rows.append(np.asarray(_TRACE_JIT(
+                    tri, normals, orig, dirs, max_depth,
+                    self._accel)))
+            ids = np.concatenate(rows, axis=0)
+            budget = max_num_paths_per_src
+            for d in range(1, max_depth + 1):
+                if budget <= 0:
+                    break
+                pref = ids[:, :d]
+                pref = pref[np.all(pref >= 0, axis=1)]
+                if pref.shape[0] == 0:
+                    continue
+                uniq = np.unique(pref, axis=0)[:budget]
+                budget -= uniq.shape[0]
+                sequences.append(np.ascontiguousarray(uniq, idt))
+
+        freq = scene.frequency
+        eta0 = np.array(
+            [m.complex_relative_permittivity(freq)
+             for m in scene.triangle_materials]
+            if has_geometry else [1. + 0j], np.complex64)
+        scat0 = np.array(
+            [m.scattering_coefficient
+             for m in scene.triangle_materials]
+            if has_geometry else [0.], rd)
+
+        def fn(tx_pos, rx_pos, eta, scat):
+            outs = [self._eval_sequences(
+                scene, tri, normals, seq, jnp.asarray(tx_pos),
+                jnp.asarray(rx_pos), eta, scat, txs, rxs)
+                for seq in sequences]
+            a = jnp.concatenate([o["a"] for o in outs], axis=-1)
+            tau = jnp.concatenate([o["tau"] for o in outs], axis=-1)
+            valid = jnp.concatenate([o["valid"] for o in outs],
+                                    axis=-1)
+            return a, tau, valid
+
+        return fn, (jnp.asarray(tx_pos), jnp.asarray(rx_pos),
+                    jnp.asarray(eta0), jnp.asarray(scat0))
+
     @staticmethod
     def _deduplicate(paths, depths):
         """Invalidates duplicate paths per (rx, tx) link.
