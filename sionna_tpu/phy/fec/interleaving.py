@@ -69,9 +69,24 @@ class RowColumnInterleaver(Block):
 
     def call(self, x, /, *, inverse=None, **kwargs):
         x = jnp.asarray(x)
-        perm, perm_inv = self._perms(x.shape[self._axis])
+        n_seq = x.shape[self._axis]
         if inverse is None:
             inverse = self._inverse
+        rd = self._row_depth
+        axis = self._axis % x.ndim
+        if n_seq % rd == 0 and axis == x.ndim - 1:
+            # TPU fast path: with no filler positions the row-column
+            # permutation is exactly a [rows, depth] transpose — a
+            # strided copy instead of a 1-element-per-row gather
+            nb_rows = n_seq // rd
+            if inverse:
+                y = x.reshape(x.shape[:-1] + (rd, nb_rows))
+                y = jnp.swapaxes(y, -1, -2)
+            else:
+                y = x.reshape(x.shape[:-1] + (nb_rows, rd))
+                y = jnp.swapaxes(y, -1, -2)
+            return y.reshape(x.shape)
+        perm, perm_inv = self._perms(n_seq)
         idx = perm_inv if inverse else perm
         return jnp.take(x, idx, axis=self._axis)
 

@@ -159,6 +159,18 @@ class Constellation(Block):
         """Normalized/centered points (what mappers consume)."""
         return self(self._points)
 
+    @property
+    def points_host(self):
+        """NumPy copy of the effective points, computed entirely on the
+        host (never touches the device — some TPU transfer layers cannot
+        fetch complex arrays)."""
+        pts = np.asarray(self._points, self.np_cdtype)
+        if self._center:
+            pts = pts - np.mean(pts)
+        if self._normalize:
+            pts = pts / np.sqrt(np.mean(np.abs(pts) ** 2))
+        return pts.astype(self.np_cdtype)
+
     @points.setter
     def points(self, v):
         self._points = np.asarray(v, self.np_cdtype)
@@ -319,6 +331,42 @@ class Demapper(Block):
             demapping_method, num_bits_per_symbol, hard_out=hard_out,
             precision=precision)
         self._no_threshold = float(np.finfo(self.np_rdtype).tiny)
+        self._sep = self._separable_axes()
+        if self._sep is not None:
+            self._logits2llrs_half = SymbolLogits2LLRs(
+                demapping_method, num_bits_per_symbol // 2,
+                hard_out=hard_out, precision=precision)
+
+    def _separable_axes(self):
+        """For Gray QAM the app/maxlog LLR factorizes exactly into two
+        independent PAM demaps (the off-axis distance term is common
+        to both subsets of every bit and cancels): even symbol bits
+        read the real axis, odd bits the imaginary axis.  Returns
+        (pam_real, pam_imag) point tables indexed by the even-/odd-bit
+        sub-labels, or None when the stored points are not separable.
+        Cuts the per-symbol work from O(2^K * K) to O(2^(K/2)) — at
+        16-QAM an ~8x smaller intermediate footprint on TPU."""
+        kbits = self._constellation.num_bits_per_symbol
+        if kbits % 2 != 0:
+            return None
+        pts = self._constellation.points_host
+        h = kbits // 2
+        # full-constellation index from interleaved even/odd sub-labels
+        def interleave(e, o):
+            i = 0
+            for j in range(h):
+                i |= (((e >> (h - 1 - j)) & 1) << (kbits - 1 - 2 * j))
+                i |= (((o >> (h - 1 - j)) & 1) << (kbits - 2 - 2 * j))
+            return i
+        pr = np.array([pts[interleave(e, 0)].real for e in range(2 ** h)])
+        pi = np.array([pts[interleave(0, o)].imag for o in range(2 ** h)])
+        recon = np.array([[pr[e] + 1j * pi[o] for o in range(2 ** h)]
+                          for e in range(2 ** h)])
+        idx = np.array([[interleave(e, o) for o in range(2 ** h)]
+                        for e in range(2 ** h)])
+        if not np.array_equal(recon, pts[idx]):
+            return None
+        return (pr.astype(self.np_rdtype), pi.astype(self.np_rdtype))
 
     @property
     def constellation(self):
@@ -326,16 +374,40 @@ class Demapper(Block):
 
     def call(self, y, no, prior=None, points=None):
         y = jnp.asarray(y, self.cdtype)
-        pts = self._constellation(points)
-        pts_b = expand_to_rank(pts, y.ndim + 1, axis=0)
-        squared_dist = jnp.abs(y[..., None] - pts_b) ** 2
+        nbps = self._constellation.num_bits_per_symbol
         no = jnp.asarray(no, self.rdtype)
         no = jnp.maximum(expand_to_rank(no, y.ndim, axis=0)[..., None],
                          self._no_threshold)
-        exponents = -squared_dist / no
+        # one reciprocal instead of a division per constellation point
+        neg_inv_no = -1. / no
+        out_shape = y.shape[:-1] + (y.shape[-1] * nbps,)
+
+        if points is None and self._sep is not None:
+            pr, pi = self._sep
+            pr = jnp.asarray(pr, self.rdtype)
+            pi = jnp.asarray(pi, self.rdtype)
+            if prior is not None:
+                prior = jnp.asarray(prior, self.rdtype)
+                prior = expand_to_rank(prior, y.ndim + 1, axis=0)
+                p_even = prior[..., 0::2]
+                p_odd = prior[..., 1::2]
+            else:
+                p_even = p_odd = None
+            le = self._logits2llrs_half(
+                (jnp.real(y)[..., None] - pr) ** 2 * neg_inv_no,
+                p_even)
+            lo = self._logits2llrs_half(
+                (jnp.imag(y)[..., None] - pi) ** 2 * neg_inv_no,
+                p_odd)
+            llr = jnp.stack([le, lo], axis=-1).reshape(
+                le.shape[:-1] + (nbps,))
+            return jnp.reshape(llr, out_shape)
+
+        pts = self._constellation(points)
+        pts_b = expand_to_rank(pts, y.ndim + 1, axis=0)
+        squared_dist = jnp.abs(y[..., None] - pts_b) ** 2
+        exponents = squared_dist * neg_inv_no
         llr = self._logits2llrs(exponents, prior)
-        out_shape = y.shape[:-1] + (
-            y.shape[-1] * self._constellation.num_bits_per_symbol,)
         return jnp.reshape(llr, out_shape)
 
 

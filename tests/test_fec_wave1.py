@@ -392,3 +392,16 @@ def test_ldpc_layered_lifted_engines_match_segment(cn):
     ber_l = float(np.mean(np.abs(outs["lifted"] - np.asarray(u))))
     ber_f = float(jnp.mean(jnp.abs(dec_f(llr) - u)))
     assert ber_l <= ber_f + 1e-9
+
+
+def test_row_column_interleaver_fast_path_matches_perm():
+    # The divisible/last-axis transpose fast path must equal the
+    # gather-based permutation path exactly (and roundtrip).
+    for n, rd in [(12, 4), (30, 5), (13, 4), (12, 5)]:
+        il = RowColumnInterleaver(row_depth=rd)
+        x = jnp.arange(2 * n, dtype=jnp.float32).reshape(2, n)
+        perm, perm_inv = il._perms(n)
+        np.testing.assert_array_equal(
+            np.asarray(il(x)), np.asarray(jnp.take(x, perm, axis=-1)))
+        np.testing.assert_array_equal(
+            np.asarray(il(il(x), inverse=True)), np.asarray(x))

@@ -181,3 +181,37 @@ def test_trainable_points_gradient():
 
     g = jax.grad(loss_fn)(jnp.asarray(qam(2), jnp.complex64))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+@pytest.mark.parametrize("nbps", [2, 4, 6, 8])
+@pytest.mark.parametrize("method", ["app", "maxlog"])
+def test_demapper_separable_fast_path_exact(nbps, method):
+    # The Gray-QAM I/Q-separable fast path must match the generic
+    # full-constellation path to float32 rounding, with and without
+    # priors.  Passing points explicitly forces the generic path.
+    rng = np.random.default_rng(7)
+    d = Demapper(method, "qam", nbps)
+    assert d._sep is not None
+    y = (rng.standard_normal((3, 40))
+         + 1j * rng.standard_normal((3, 40))).astype(np.complex64)
+    pts = np.asarray(d.constellation.points)
+    prior = (3 * rng.standard_normal(nbps)).astype(np.float32)
+    for p in (None, prior):
+        fast = np.asarray(d(y, 0.7, p))
+        gen = np.asarray(d(y, 0.7, p, points=pts))
+        np.testing.assert_allclose(fast, gen, atol=1e-3, rtol=1e-4)
+
+
+def test_demapper_custom_points_not_separable():
+    # A non-Gray custom constellation must fall back to the generic path
+    rng = np.random.default_rng(3)
+    pts = (rng.standard_normal(16) + 1j * rng.standard_normal(16))
+    d = Demapper("app", constellation=Constellation(
+        "custom", 4, points=pts))
+    assert d._sep is None
+
+
+def test_constellation_points_host():
+    c = Constellation("qam", 4, normalize=True, center=True)
+    np.testing.assert_allclose(
+        c.points_host, np.asarray(c.points), atol=1e-6)
