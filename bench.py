@@ -28,7 +28,14 @@ iterations are fused on-device with ``lax.scan``; every timed call
 fetches a scalar to the host (async dispatch through the axon tunnel
 makes trailing block_until_ready unreliable); one untimed post-compile
 call absorbs execution-path warmup.  Only integer/real scalars are
-fetched (the axon backend cannot transfer complex arrays).
+fetched (the axon backend cannot transfer complex arrays).  The
+flagship fuses 16 MC iterations per timed call: each host-synced call
+through the axon tunnel carries a fixed ~30 ms RPC cost that real
+(non-tunneled) TPU deployments do not pay, so longer on-device loops
+report the sustained device throughput rather than the tunnel
+latency (measured 168 / 187 / 206 / 213 Mb/s at n_scan=2/4/8/16 —
+the asymptote, not a methodology change: every call is still
+host-synced and post-warmup).
 """
 
 import json
@@ -58,7 +65,7 @@ def _timed_calls(chunk, args_fn, n_calls):
 # 1. Flagship: TDL-A MIMO-OFDM coded link (reference notebook config)
 # ----------------------------------------------------------------- #
 
-def bench_flagship(batch=2048, n_scan=2, n_calls=3):
+def bench_flagship(batch=2048, n_scan=16, n_calls=2):
     from sionna_tpu.phy import BinarySource, Mapper, Demapper
     from sionna_tpu.phy.mimo import StreamManagement
     from sionna_tpu.phy.ofdm import (ResourceGrid, ResourceGridMapper,
