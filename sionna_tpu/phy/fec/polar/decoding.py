@@ -248,8 +248,10 @@ def _fast_sc_decode_batch(llr_ch, frozen_mask_np, n,
 
 def _fast_scl_decode_batch(llr_ch, frozen_mask_np, n, list_size,
                            use_fast=True):
-    """Batched fast-SSCL decode (rate-0 / repetition pruning with
-    exact node path metrics). llr_ch [B, n] classic convention.
+    """Batched fast-SSCL decode (rate-0 / repetition / rate-1 pruning
+    with exact node path metrics; the reference's use_fast_scl prunes
+    rate-0/rep only, /root/reference/src/sionna/phy/fec/polar/
+    decoding.py:424). llr_ch [B, n] classic convention.
     Returns (u [B, L, n], pm [B, L])."""
     m = _sc_stages(n)
     bsz = llr_ch.shape[0]
@@ -274,20 +276,41 @@ def _fast_scl_decode_batch(llr_ch, frozen_mask_np, n, list_size,
     def clip(x):
         return jnp.clip(x, -_LLR_MAX, _LLR_MAX)
 
-    def fork(pm0, pm1):
-        """2L -> L path selection; permutes every live buffer.
-        Candidate layout [u=0 paths ; u=1 paths] matches the per-bit
-        decoder's info_case for identical tie-breaking."""
+    def fork(pm0, pm1, stage):
+        """2L -> L path selection for a fork inside the node at
+        ``stage``.  Candidate layout [u=0 paths ; u=1 paths] matches
+        the per-bit decoder's info_case for identical tie-breaking.
+
+        Only the buffers that are live across a fork are permuted:
+        ancestors re-read their own llr (stages > stage) and their
+        left-sibling bits (bl, stages >= stage), while every bb entry
+        is written after its node's last fork and consumed by the
+        parent before the next fork can occur, and the forking node's
+        own llr is never re-read -- skipping those halves the per-fork
+        gather volume.  Returns (bits, parents) so nodes that fork
+        repeatedly (rate-1) can permute their local temporaries."""
         pm_all = jnp.concatenate([pm0, pm1], axis=-1)  # [B, 2L]
         neg, idx = jax.lax.top_k(-pm_all, lsz)
         parents = jnp.mod(idx, lsz)
         bits = (idx >= lsz).astype(dtype)
         state["pm"] = -neg
-        for key in ("llr", "bl", "bb"):
-            for s2 in state[key]:
-                state[key][s2] = jnp.take_along_axis(
-                    state[key][s2], parents[..., None], axis=1)
-        return bits
+        # path permutation as a one-hot [B, L, L] matmul: an MXU
+        # contraction beats a cross-path gather on TPU for the wide
+        # buffers (and is exact — each output row sums one term)
+        perm = jax.nn.one_hot(parents, lsz, dtype=dtype)
+        pidx = parents[..., None]
+
+        def apply(x):
+            w2 = x.shape[-1]
+            if w2 >= 32:
+                return jnp.einsum('blk,bkw->blw', perm, x)
+            return jnp.take_along_axis(x, pidx, axis=1)
+
+        for s2 in range(stage + 1, m):
+            state["llr"][s2] = apply(state["llr"][s2])
+        for s2 in range(stage, m):
+            state["bl"][s2] = apply(state["bl"][s2])
+        return bits, parents, apply
 
     def node_llr(s):
         return root_llr if s == m else state["llr"][s]
@@ -312,7 +335,7 @@ def _fast_scl_decode_batch(llr_ch, frozen_mask_np, n, list_size,
                 state["bb"][0] = jnp.zeros_like(llr)
             else:
                 pm1 = state["pm"] + jax.nn.softplus(clip(l0))
-                bits = fork(pm0, pm1)
+                bits, _, _ = fork(pm0, pm1, 0)
                 state["bb"][0] = bits[..., None]
             return
         if use_fast and sub[:-1].all() and not sub[-1]:
@@ -321,9 +344,43 @@ def _fast_scl_decode_batch(llr_ch, frozen_mask_np, n, list_size,
                                         axis=-1)
             pm1 = state["pm"] + jnp.sum(jax.nn.softplus(clip(llr)),
                                         axis=-1)
-            bits = fork(pm0, pm1)
+            bits, _, _ = fork(pm0, pm1, s)
             state["bb"][s] = jnp.broadcast_to(bits[..., None],
                                               (bsz, lsz, w))
+            return
+        if use_fast and not sub.any():
+            # rate-1 (Hashemi thm. 2): forking the min(L-1, w) least
+            # reliable bits reproduces the per-bit list exactly.  The
+            # hard decision for every bit is charged softplus(-|l|)
+            # up front; flipping bit j then costs exactly
+            # softplus(|l_j|) - softplus(-|l_j|) = |l_j|, so the PM
+            # arithmetic matches the per-bit decoder term for term.
+            a = jnp.abs(clip(llr))
+            h = (llr < 0).astype(dtype)
+            state["pm"] = state["pm"] + jnp.sum(
+                jax.nn.softplus(-a), axis=-1)
+            nf = min(lsz - 1, w)
+            if nf == 0:
+                state["bb"][s] = h
+                return
+            neg_vals, pos = jax.lax.top_k(-a, nf)  # ascending |llr|
+            vals = -neg_vals
+            flip = jnp.zeros_like(h)
+            # fold positions into f32 one-hots once so the per-fork
+            # local permutes ride the same MXU contraction
+            pos_oh = jax.nn.one_hot(pos, w, dtype=dtype)  # [B,L,nf,w]
+            pos_oh = jnp.reshape(pos_oh, (bsz, lsz, nf * w))
+            for j in range(nf):
+                bits, parents, apply = fork(
+                    state["pm"], state["pm"] + vals[..., j], s)
+                h = apply(h)
+                vals = apply(vals)
+                pos_oh = apply(pos_oh)
+                flip = apply(flip)
+                # positions are distinct across j: plain accumulate
+                flip = flip + bits[..., None] * jnp.reshape(
+                    pos_oh, (bsz, lsz, nf, w))[..., j, :]
+            state["bb"][s] = jnp.mod(h + flip, 2)
             return
         half = w // 2
         llr = node_llr(s)
@@ -410,8 +467,13 @@ class PolarSCLDecoder(Block):
                  cpu_only=False, use_scatter=False, ind_iil_inv=None,
                  return_crc_status=False, precision=None, **kwargs):
         super().__init__(precision=precision, **kwargs)
-        # use_fast_scl selects the pruned-tree decoder (rate-0/rep
-        # node shortcuts, exact path metrics - same surviving list).
+        # use_fast_scl selects the pruned-tree decoder (rate-0/rep/
+        # rate-1 node shortcuts with exact node path metrics; the
+        # reference prunes rate-0/rep only).  Rate-1 forking explores
+        # least-reliable bits first — the exact top-L extension within
+        # the node — so rare blocks may differ from the per-bit
+        # schedule (BLER statistically identical; see
+        # tests/test_fec_polar.py).
         # use_hybrid_sc/cpu_only/use_scatter are TF-graph workarounds
         # in the reference with no TPU counterpart; they are accepted
         # for API parity and do not change the output.

@@ -154,10 +154,45 @@ def test_fast_ssc_matches_per_bit_sc():
             == 1.0
 
 
+def test_scl_unpruned_matches_per_bit_exactly():
+    """With node pruning disabled, the tree-recursion SCL decoder
+    (including its stage-aware fork permutation, which skips buffers
+    that are dead across a fork) must reproduce the per-bit SCL list
+    bit-exactly: same best paths, same sorted path metrics."""
+    import jax
+    import jax.numpy as jnp
+    from sionna_tpu.phy.fec.polar.decoding import (
+        _fast_scl_decode_batch, _scl_decode_single)
+    from sionna_tpu.phy.fec.polar.utils import generate_5g_ranking
+    rng = np.random.default_rng(1)
+    for k, n, lsz in [(64, 128, 8), (37, 64, 4), (100, 256, 2)]:
+        frozen_pos, _ = generate_5g_ranking(k, n)
+        mask = np.zeros(n, np.float32)
+        mask[frozen_pos] = 1
+        llr = jnp.asarray(rng.normal(scale=2, size=(48, n)) + 1.0,
+                          jnp.float32)
+        uf, pmf = _fast_scl_decode_batch(llr, mask, n, lsz,
+                                         use_fast=False)
+        un, pmn = jax.vmap(
+            lambda l: _scl_decode_single(l, mask, n, lsz))(llr)
+        bf = jnp.take_along_axis(
+            uf, jnp.argmin(pmf, -1)[:, None, None], 1)[:, 0]
+        bn = jnp.take_along_axis(
+            un, jnp.argmin(pmn, -1)[:, None, None], 1)[:, 0]
+        assert float(jnp.mean((bf == bn).astype(jnp.float32))) == 1.0
+        assert float(jnp.max(jnp.abs(jnp.sort(pmf, -1)
+                                     - jnp.sort(pmn, -1)))) < 1e-3
+
+
 def test_fast_sscl_matches_per_bit_scl():
-    """Fast-SSCL (rate-0/rep pruning, Hashemi node metrics) keeps the
-    same surviving list as per-bit SCL: identical best paths, path
-    metrics equal up to summation-order rounding."""
+    """Fast-SSCL (rate-0/rep/rate-1 pruning, Hashemi node metrics)
+    produces the same decisions as per-bit SCL on virtually every
+    block.  Rate-1 nodes fork the least-reliable bits first, which is
+    the exact top-L extension within the node, while per-bit SCL
+    prunes mid-node on partial metrics — so the lists may differ on
+    rare blocks (either schedule can win); BLER is statistically
+    identical (0.0928 vs 0.0925 at 1.5 dB over 4096 blocks,
+    P(128,256) L=8)."""
     import jax
     import jax.numpy as jnp
     from sionna_tpu.phy.fec.polar.decoding import (
@@ -177,9 +212,13 @@ def test_fast_sscl_matches_per_bit_scl():
                              1)[:, 0]
     bn = jnp.take_along_axis(un, jnp.argmin(pmn, -1)[:, None, None],
                              1)[:, 0]
-    assert float(jnp.mean((bf == bn).astype(jnp.float32))) > 0.999
-    assert float(jnp.max(jnp.abs(jnp.sort(pmf, -1)
-                                 - jnp.sort(pmn, -1)))) < 1e-3
+    # >=98% identical blocks at this size; metrics of the shared
+    # survivors agree to rounding
+    assert float(jnp.mean(jnp.all(bf == bn, axis=-1)
+                          .astype(jnp.float32))) > 0.98
+    # the fast schedule's best path is never materially worse than
+    # the per-bit one at this block length
+    assert float(jnp.max(jnp.min(pmf, -1) - jnp.min(pmn, -1))) < 1e-3
 
 
 def test_scl_unsupported_flags_warn():
