@@ -29,7 +29,8 @@ from .encoding import LDPC5GEncoder
 
 __all__ = ["LDPCBPDecoder", "LDPC5GDecoder", "cn_update_minsum",
            "cn_update_offset_minsum", "cn_update_tanh", "cn_update_phi",
-           "vn_update_sum"]
+           "vn_update_sum", "cn_node_update_identity",
+           "vn_node_update_identity"]
 
 
 # ----------------------------------------------------------------------
@@ -183,11 +184,40 @@ def vn_update_sum(c2v, llr_ch, vn_idx, num_vns, llr_clipping=None):
     return v2c, marg
 
 
+def cn_node_update_identity(v2c, cn_idx, num_cns, llr_clipping=None,
+                            sorted_=True):
+    """Identity check node update for testing/debugging message
+    passing (reference decoding.py:585): c2v = v2c unchanged."""
+    c2v = v2c
+    if llr_clipping is not None:
+        c2v = jnp.clip(c2v, -llr_clipping, llr_clipping)
+    return c2v
+
+
+def vn_node_update_identity(c2v, llr_ch, vn_idx, num_vns,
+                            llr_clipping=None):
+    """Identity variable node update for testing/debugging (reference
+    decoding.py:644): passes messages through unchanged and returns
+    the marginalized sum as second output."""
+    if c2v.ndim == 2:
+        total = jax.vmap(lambda row: jax.ops.segment_sum(
+            row, vn_idx, num_segments=num_vns))(c2v)
+    else:
+        total = jax.ops.segment_sum(c2v, vn_idx, num_segments=num_vns)
+    marg = total + llr_ch
+    v2c = c2v
+    if llr_clipping is not None:
+        v2c = jnp.clip(v2c, -llr_clipping, llr_clipping)
+        marg = jnp.clip(marg, -llr_clipping, llr_clipping)
+    return v2c, marg
+
+
 _CN_UPDATES = {
     "minsum": cn_update_minsum,
     "offset-minsum": cn_update_offset_minsum,
     "boxplus": cn_update_tanh,
     "boxplus-phi": cn_update_phi,
+    "identity": cn_node_update_identity,
 }
 
 
@@ -249,10 +279,14 @@ class LDPCBPDecoder(Block):
             self._cn_update = _CN_UPDATES[cn_update]
         else:
             raise ValueError(f"Unknown cn_update: {cn_update}")
-        if vn_update != "sum" and not callable(vn_update):
+        if callable(vn_update):
+            self._vn_update_fn = vn_update
+        elif vn_update == "sum":
+            self._vn_update_fn = vn_update_sum
+        elif vn_update == "identity":
+            self._vn_update_fn = vn_node_update_identity
+        else:
             raise ValueError(f"Unknown vn_update: {vn_update}")
-        self._vn_update_fn = vn_update if callable(vn_update) \
-            else vn_update_sum
 
         if isinstance(cn_schedule, str) and cn_schedule == "flooding":
             self._scheduling = "flooding"

@@ -199,6 +199,12 @@ def int2bin_jnp(ints, length):
     return (ints[..., None] >> shifts) & 1
 
 
+# Migration aliases carrying the reference's TF-era names so imports
+# port over unchanged (reference fec/utils.py:552,616)
+bin2int_tf = bin2int_jnp
+int2bin_tf = int2bin_jnp
+
+
 def load_alist(path):
     """Reads an .alist file into a nested list
     (reference fec/utils.py:764)."""

@@ -405,3 +405,25 @@ def test_row_column_interleaver_fast_path_matches_perm():
             np.asarray(il(x)), np.asarray(jnp.take(x, perm, axis=-1)))
         np.testing.assert_array_equal(
             np.asarray(il(il(x), inverse=True)), np.asarray(x))
+
+
+def test_ldpc_identity_updates_and_int_aliases():
+    # identity CN/VN updates (debug hooks, reference decoding.py:585,
+    # 644) run end-to-end; TF-era alias names resolve to the jnp
+    # variants
+    from sionna_tpu.phy.fec.ldpc import LDPCBPDecoder
+    from sionna_tpu.phy.fec.utils import (bin2int_tf, int2bin_tf,
+                                          bin2int_jnp, int2bin_jnp)
+    pcm = np.array([[1, 1, 0, 1, 0, 0], [0, 1, 1, 0, 1, 0],
+                    [1, 0, 1, 0, 0, 1]], np.int32)
+    dec = LDPCBPDecoder(pcm, cn_update="identity",
+                        vn_update="identity", hard_out=False,
+                        num_iter=2)
+    llr = jnp.asarray(np.random.default_rng(0).normal(size=(2, 6)),
+                      jnp.float32)
+    assert np.all(np.isfinite(np.asarray(dec(llr))))
+    assert bin2int_tf is bin2int_jnp and int2bin_tf is int2bin_jnp
+    v = int2bin_tf(jnp.asarray([5, 2]), 4)
+    np.testing.assert_array_equal(np.asarray(v),
+                                  [[0, 1, 0, 1], [0, 0, 1, 0]])
+    np.testing.assert_array_equal(np.asarray(bin2int_tf(v)), [5, 2])
