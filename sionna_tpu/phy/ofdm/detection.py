@@ -232,7 +232,22 @@ class OFDMDetector(Block):
 
 class OFDMDetectorWithPrior(OFDMDetector):
     """OFDM detector wrapper passing priors through to the MIMO
-    detector (reference detection.py:319)."""
+    detector (reference detection.py:319).
+
+    Priors come in two granularities, matching the reference input
+    spec (detection.py:1119):
+
+    - per data RE: ``[b, num_tx, s_tx, num_data_symbols*nbps]``
+      (``output="bit"``) or ``[b, num_tx, s_tx, num_data_symbols,
+      num_points]`` (``output="symbol"``) — the iterative
+      detection-and-decoding (IDD) feedback path;
+    - per stream: ``[b, num_tx, s_tx, nbps]`` /
+      ``[b, num_tx, s_tx, num_points]``, broadcast over all data REs.
+
+    Per-RE priors are scattered back onto the resource grid with a
+    precomputed inverse of the data-RE gather (pilot REs get zero
+    prior, which is the uninformative value in both LLR and logit
+    domains)."""
 
     def __init__(self, detector, output, resource_grid,
                  stream_management, constellation, precision=None,
@@ -241,23 +256,70 @@ class OFDMDetectorWithPrior(OFDMDetector):
                          stream_management, precision=precision,
                          **kwargs)
         self._constellation = constellation
+        # Inverse of the data-RE gather: for each (tx, stream) and
+        # flattened grid position sym*eff, the index into the
+        # data-symbol list (or n_data for "not a data RE" -> zero pad)
+        data_ind = np.asarray(self._data_ind)        # [tx, s, n_data]
+        n_data = data_ind.shape[-1]
+        mask = np.array(resource_grid.pilot_pattern.mask)
+        n_grid = mask.shape[-1] * mask.shape[-2]     # sym * eff
+        inv = np.full(data_ind.shape[:-1] + (n_grid,), n_data,
+                      np.int32)
+        np.put_along_axis(inv, data_ind,
+                          np.arange(n_data, dtype=np.int32), axis=-1)
+        self._inv_data_ind = inv
+
+    def _priors_to_grid(self, prior, y_dt_shape):
+        """Maps user priors onto the detector's RG layout
+        [b, rx, sym, eff, s_rx, d]."""
+        sm = self._stream_management
+        rg = self._resource_grid
+        prior = jnp.asarray(prior, self.rdtype)
+        n_data = self._data_ind.shape[-1]
+        if self._output == "bit":
+            d = self._constellation.num_bits_per_symbol
+            per_re = prior.shape[-1] != d or n_data * d == d
+        else:
+            d = prior.shape[-1]
+            per_re = prior.ndim >= 5
+        b = prior.shape[0]
+        if per_re:
+            pr = jnp.reshape(prior, (b, sm.num_tx,
+                                     sm.num_streams_per_tx, n_data, d))
+            # dummy row at index n_data: pilot/guard REs -> zero prior
+            pr = jnp.concatenate(
+                [pr, jnp.zeros(pr.shape[:3] + (1, d), pr.dtype)],
+                axis=3)
+            inv = jnp.asarray(self._inv_data_ind)    # [tx, s, grid]
+            idx = jnp.broadcast_to(
+                inv[None, :, :, :, None],
+                (b,) + inv.shape + (d,))
+            pr = jnp.take_along_axis(pr, idx, axis=3)
+            # [b, tx, s, sym*eff, d] -> rx-stream ordering
+            pr = jnp.reshape(pr, (b, -1) + pr.shape[3:])
+            pr = jnp.take(pr,
+                          jnp.asarray(sm.rx_stream_ids.reshape(-1)),
+                          axis=1)
+            pr = jnp.reshape(pr, (b, sm.num_rx, sm.num_streams_per_rx,
+                                  rg.num_ofdm_symbols, -1, d))
+            # [b, rx, s_rx, sym, eff, d] -> [b, rx, sym, eff, s_rx, d]
+            return jnp.transpose(pr, (0, 1, 3, 4, 2, 5))
+        # per-stream prior, broadcast over REs
+        pr = jnp.reshape(prior, (b, -1, d))
+        pr = jnp.take(pr, jnp.asarray(sm.rx_stream_ids.reshape(-1)),
+                      axis=1)
+        pr = jnp.reshape(pr, (b, sm.num_rx, sm.num_streams_per_rx, d))
+        pr = pr[:, :, None, None]  # broadcast over sym, eff
+        return jnp.broadcast_to(pr, y_dt_shape[:4] + pr.shape[-2:])
 
     def call(self, y, h_hat, prior, err_var, no):
         y_dt, h_desired, s = self._preprocess_inputs(y, h_hat, err_var,
                                                      no)
-        # prior: [b, num_tx, s_tx, nbps] or [..., num_points] broadcast
-        # over REs: [b, rx, sym, eff, s_rx, dim]
-        sm = self._stream_management
-        prior = jnp.asarray(prior, self.rdtype)
-        # [b, num_tx, s_tx, d] -> rx ordering [b, rx, s_rx, d]
-        pr = jnp.reshape(prior, (prior.shape[0], -1, prior.shape[-1]))
-        pr = jnp.take(pr, jnp.asarray(sm.rx_stream_ids.reshape(-1)),
-                      axis=1)
-        pr = jnp.reshape(pr, (prior.shape[0], sm.num_rx,
-                              sm.num_streams_per_rx, prior.shape[-1]))
-        pr = pr[:, :, None, None]  # broadcast over sym, eff
-        pr = jnp.broadcast_to(pr, y_dt.shape[:4] + pr.shape[-2:])
-        z = self._detector(y_dt, h_desired, s, prior=pr)
+        if prior is None:
+            z = self._detector(y_dt, h_desired, s)
+        else:
+            pr = self._priors_to_grid(prior, y_dt.shape)
+            z = self._detector(y_dt, h_desired, s, prior=pr)
         return self._extract_datasymbols(z)
 
 
@@ -355,20 +417,28 @@ class EPDetector(OFDMDetector):
                          **kwargs)
 
 
-class MMSEPICDetector(OFDMDetector):
-    """OFDM MMSE-PIC detector (reference detection.py:1062)."""
+class MMSEPICDetector(OFDMDetectorWithPrior):
+    """OFDM MMSE-PIC detector (reference detection.py:1062).
+
+    Soft-input soft-output: ``call(y, h_hat, prior, err_var, no)``
+    with ``prior`` the decoder feedback (per data RE, see
+    :class:`OFDMDetectorWithPrior`) or ``None`` for the first IDD
+    pass."""
 
     def __init__(self, output, resource_grid, stream_management,
                  demapping_method="maxlog", num_iter=1,
                  constellation_type=None, num_bits_per_symbol=None,
                  constellation=None, hard_out=False, precision=None,
                  **kwargs):
+        from ..mapping import Constellation
+        constellation = Constellation.check_or_create(
+            constellation_type=constellation_type,
+            num_bits_per_symbol=num_bits_per_symbol,
+            constellation=constellation, precision=precision)
         detector = mimo_detection.MMSEPICDetector(
             output, demapping_method=demapping_method,
-            num_iter=num_iter, constellation_type=constellation_type,
-            num_bits_per_symbol=num_bits_per_symbol,
-            constellation=constellation, hard_out=hard_out,
-            precision=precision)
+            num_iter=num_iter, constellation=constellation,
+            hard_out=hard_out, precision=precision)
         super().__init__(detector, output, resource_grid,
-                         stream_management, precision=precision,
-                         **kwargs)
+                         stream_management, constellation,
+                         precision=precision, **kwargs)

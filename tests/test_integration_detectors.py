@@ -75,12 +75,14 @@ def _build(detector_name, output):
         no = jnp.asarray(1e-4, jnp.float32)
         y, h = channel(x_rg, no, key=k2)
         err_var = jnp.asarray(0., jnp.float32)
-        out = det(y, h, err_var, no)
-        if output == "symbol":
-            return x_ind, out
         if detector_name == "mmse-pic":
             # soft-input detector: no prior on the first pass
-            pass
+            # (reference signature (y, h_hat, prior, err_var, no))
+            out = det(y, h, None, err_var, no)
+        else:
+            out = det(y, h, err_var, no)
+        if output == "symbol":
+            return x_ind, out
         return b, dec(out)
 
     return run

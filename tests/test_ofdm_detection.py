@@ -126,11 +126,54 @@ def test_ep_ofdm_detection():
 
 
 def test_mmse_pic_ofdm_detection():
-    b, b_hat = run_chain(
-        lambda rg, sm: MMSEPICDetector("bit", rg, sm, num_iter=2,
-                                       constellation_type="qam",
-                                       num_bits_per_symbol=NBPS))
+    # reference call signature: (y, h_hat, prior, err_var, no) with
+    # prior=None on the first IDD pass
+    def make(rg, sm):
+        det = MMSEPICDetector("bit", rg, sm, num_iter=2,
+                              constellation_type="qam",
+                              num_bits_per_symbol=NBPS)
+        return lambda y, h_hat, err_var, no: det(y, h_hat, None,
+                                                 err_var, no)
+    b, b_hat = run_chain(make)
     assert np.mean(b != b_hat) < 0.01
+
+
+def test_mmse_pic_ofdm_per_re_prior_idd():
+    """Per-data-RE priors (the IDD feedback layout, reference
+    detection.py:1119): a perfect decoder prior must beat the
+    prior-less pass at low SNR, and the per-stream broadcast layout
+    must still be accepted."""
+    config.seed = 7
+    num_tx_ant, num_rx_ant = 2, 4
+    rg, sm = build_link(num_tx_ant, num_rx_ant)
+    src = BinarySource()
+    mapper = Mapper("qam", NBPS)
+    rg_mapper = ResourceGridMapper(rg)
+    ch_model = RayleighBlockFading(1, num_rx_ant, 1, num_tx_ant)
+    channel = OFDMChannel(ch_model, rg, return_channel=True)
+    det = MMSEPICDetector("bit", rg, sm, num_iter=1,
+                          constellation_type="qam",
+                          num_bits_per_symbol=NBPS)
+    no = ebnodb2no(0.0, NBPS, 1.0)
+    n_data = int(rg.num_data_symbols) * NBPS
+    b = src([8, 1, num_tx_ant, n_data])
+    y, h = channel(rg_mapper(mapper(b)), no, key=jax.random.PRNGKey(3))
+    from sionna_tpu.phy.ofdm import RemoveNulledSubcarriers
+    h_hat = RemoveNulledSubcarriers(rg)(h)
+    err_var = jnp.zeros((1,) * 7, jnp.float32)
+
+    llr0 = det(y, h_hat, None, err_var, no)
+    # perfect per-RE prior: true bits as strong LLRs
+    prior = jnp.asarray((2. * b - 1.) * 6.0, jnp.float32)
+    llr1 = det(y, h_hat, prior, err_var, no)
+    ber0 = np.mean(np.asarray(hard_decisions(llr0)) != np.asarray(b))
+    ber1 = np.mean(np.asarray(hard_decisions(llr1)) != np.asarray(b))
+    assert ber1 < ber0
+    # legacy per-stream layout still accepted (broadcast over REs)
+    llr2 = det(y, h_hat, jnp.zeros((8, 1, num_tx_ant, NBPS)),
+               err_var, no)
+    np.testing.assert_allclose(np.asarray(llr2), np.asarray(llr0),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_lmmse_equalizer_ofdm():
