@@ -249,6 +249,50 @@ def _trace(tri, normals, orig, dirs, depth, accel=None):
 _TRACE_JIT = jax.jit(_trace, static_argnums=(4,))
 
 
+def _trace_unique(tri, normals, orig, dirs, depth, cap, accel=None):
+    """Traces rays and deduplicates hit-sequence prefixes ON DEVICE.
+
+    Fuses :func:`_trace` with a per-depth lexicographic sort +
+    first-occurrence compaction so the host never touches the raw
+    [R, depth] hit table (np.unique over 200k rows costs ~0.3 s of
+    single-core host time per solve, plus the transfer).  For each
+    prefix length d in 1..depth, returns the unique all-hit prefixes,
+    sorted ascending (matching np.unique), left-compacted into a
+    static [cap, d] buffer padded with -1, together with the unique
+    count (clipped to cap).
+
+    Returns (uniq: tuple of [cap, d] int32, counts: [depth] int32)."""
+    ids = _trace(tri, normals, orig, dirs, depth, accel)  # [R, depth]
+    num_tri = tri.shape[0]
+    uniq_all, counts = [], []
+    for d in range(1, depth + 1):
+        pref = ids[:, :d]                              # [R, d]
+        valid = jnp.all(pref >= 0, axis=1)             # [R]
+        # invalid rows -> sentinel num_tri in every column: they sort
+        # last and can never collide with a valid prefix
+        key_rows = jnp.where(valid[:, None], pref, num_tri)
+        # lexicographic ascending sort (primary key = column 0)
+        perm = jnp.lexsort(tuple(key_rows[:, c]
+                                 for c in range(d - 1, -1, -1)))
+        rows = key_rows[perm]                          # [R, d] sorted
+        valid_s = valid[perm]
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool),
+             jnp.any(rows[1:] != rows[:-1], axis=1)])
+        new = first & valid_s
+        dest = jnp.cumsum(new.astype(jnp.int32)) - 1   # [R]
+        n_uniq = jnp.minimum(dest[-1] + 1, cap)
+        dest = jnp.where(new, dest, cap)               # drop non-first
+        out = jnp.full((cap + 1, d), -1, jnp.int32)
+        out = out.at[dest].set(rows.astype(jnp.int32), mode="drop")
+        uniq_all.append(out[:cap])
+        counts.append(n_uniq.astype(jnp.int32))
+    return tuple(uniq_all), jnp.stack(counts)
+
+
+_TRACE_UNIQUE_JIT = jax.jit(_trace_unique, static_argnums=(4, 5))
+
+
 def _fibonacci_sphere(n):
     """[n, 3] quasi-uniform directions on the unit sphere"""
     i = np.arange(n) + 0.5
@@ -410,28 +454,33 @@ class PathSolver:
         if specular_reflection and has_geometry and max_depth > 0:
             dirs = jnp.asarray(
                 _fibonacci_sphere(samples_per_src).astype(rd))
-            trace_fn = _TRACE_JIT
-            rows = []
-            for t in range(tx_pos.shape[0]):
-                orig = jnp.broadcast_to(jnp.asarray(tx_pos[t]),
-                                        dirs.shape)
-                rows.append(np.asarray(
-                    trace_fn(tri, normals, orig, dirs, max_depth,
-                             self._accel)))
-            ids = np.concatenate(rows, axis=0)         # [R, depth]
-            # Vectorized prefix dedupe: unique length-d prefixes whose
-            # entries are all real hits, shortest depths first, capped
-            # at max_num_paths_per_src total.
+            # All tx sources traced as one ray batch; the prefix
+            # dedupe (lexsort + first-occurrence compaction) runs
+            # inside the same jitted program, so one dispatch and one
+            # [cap, d]-sized fetch replace the raw [R, depth] hit
+            # table + host np.unique of round 1.
+            num_t = tx_pos.shape[0]
+            orig = jnp.broadcast_to(
+                jnp.asarray(tx_pos)[:, None, :],
+                (num_t,) + dirs.shape).reshape(-1, 3)
+            dirs_all = jnp.broadcast_to(
+                dirs[None], (num_t,) + dirs.shape).reshape(-1, 3)
+            cap = int(min(max_num_paths_per_src,
+                          num_t * samples_per_src))
+            uniq_dev, counts_dev = _TRACE_UNIQUE_JIT(
+                tri, normals, orig, dirs_all, max_depth, cap,
+                self._accel)
+            counts = np.asarray(counts_dev)
+            # shortest depths first, capped at max_num_paths_per_src
             budget = max_num_paths_per_src
             for d in range(1, max_depth + 1):
                 if budget <= 0:
                     break
-                pref = ids[:, :d]
-                pref = pref[np.all(pref >= 0, axis=1)]
-                if pref.shape[0] == 0:
+                n = int(min(counts[d - 1], budget))
+                if n == 0:
                     continue
-                uniq = np.unique(pref, axis=0)[:budget]
-                budget -= uniq.shape[0]
+                uniq = np.asarray(uniq_dev[d - 1])[:n]
+                budget -= n
                 sequences.append(np.ascontiguousarray(uniq, idt))
 
         # ------------------------------------------------------------
