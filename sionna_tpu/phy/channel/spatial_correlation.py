@@ -19,9 +19,10 @@ class SpatialCorrelation(Object):
 
 class KroneckerModel(SpatialCorrelation):
     """Kronecker correlation: h <- R_rx^{1/2} h (R_tx^{1/2})^T
-    (reference spatial_correlation.py:42)."""
+    (reference spatial_correlation.py:42; argument order (r_tx, r_rx)
+    matches the reference's __init__ at :86)."""
 
-    def __init__(self, r_rx=None, r_tx=None):
+    def __init__(self, r_tx=None, r_rx=None):
         super().__init__()
         self.r_rx = r_rx
         self.r_tx = r_tx

@@ -142,7 +142,7 @@ def test_flat_fading_with_correlation():
     r_rx = np.asarray(exp_corr_mat(0.9, 4, precision="double"))
     r_tx = np.asarray(exp_corr_mat(0.5, 2, precision="double"))
     gen = GenerateFlatFadingChannel(
-        2, 4, spatial_corr=KroneckerModel(r_rx, r_tx))
+        2, 4, spatial_corr=KroneckerModel(r_tx, r_rx))
     h = gen(10000, key=jax.random.PRNGKey(0))
     h_np = np.asarray(h)
     # empirical receive correlation ~ r_rx (columns averaged)
