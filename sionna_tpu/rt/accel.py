@@ -42,7 +42,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["TriangleAccel", "build_accel", "nearest_hit_accel",
-           "any_blocking_hit_accel", "cluster_permutation"]
+           "any_blocking_hit_accel", "transmission_product_accel",
+           "cluster_permutation"]
 
 _EPS = 1e-5
 
@@ -498,3 +499,137 @@ def any_blocking_hit_accel(orig, dirs, accel, excl_ids=None,
     xs = (o_c, d_c) if e_c is None else (o_c, d_c, e_c)
     _, b_c = jax.lax.scan(body, None, xs)
     return b_c.reshape(-1)[:num_rays]
+
+
+def _tri_unit_normals(tri):
+    n = jnp.cross(tri[..., 1, :] - tri[..., 0, :],
+                  tri[..., 2, :] - tri[..., 0, :])
+    return n / jnp.maximum(
+        jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-30)
+
+
+def transmission_product_accel(orig, dirs, accel, eta_tri, th_tri,
+                               lam, excl_ids=None, ray_chunk=8192,
+                               group=16, k_max=64):
+    """Complex slab-transmission product of each segment through every
+    blocking triangle, via the cluster structure (the ``refraction``
+    analog of :func:`any_blocking_hit_accel`).
+
+    Unlike the boolean query there is no early exit: the product
+    needs EVERY blocker, so a ray is exact only when it entered at
+    most ``k_max`` clusters; the remaining rays are re-solved by a
+    dense all-cluster sweep under a scalar ``lax.cond``.  Cluster-id
+    padding in the top-k table repeats id 0, so padded slots are
+    masked by their +inf entry time (a product, unlike the boolean
+    OR, is not idempotent)."""
+    from .solver import _slab_transmission
+
+    one = jnp.asarray(1., orig.dtype)
+    csz = accel.cluster_size
+    eta_j = jnp.asarray(eta_tri, jnp.complex64)
+    th_j = jnp.asarray(th_tri, jnp.float32)
+    d_hat = dirs / jnp.maximum(
+        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-30)
+
+    def slab_for(o, d, dh, tri, eid, excl):
+        """Per-blocker transmission factors for one triangle group:
+        returns t_eff [r, n_tri] with 1 where not blocking."""
+        t, hit = _mt_per_ray(o, d, tri)
+        b = hit & (eid >= 0) & (t > 1e-4) & (t < 1. - 1e-4)
+        if excl is not None:
+            b &= ~jnp.any(eid[:, :, None] == excl[:, None, :],
+                          axis=-1)
+        n = _tri_unit_normals(tri)
+        cos_i = jnp.abs(jnp.sum(dh[:, None, :] * n, axis=-1))
+        safe = jnp.clip(eid, 0, eta_j.shape[0] - 1)
+        t_te, t_tm = _slab_transmission(
+            cos_i.astype(jnp.float32), eta_j[safe], th_j[safe], lam)
+        t_eff = 0.5 * (t_te + t_tm)
+        return jnp.where(b, t_eff, 1. + 0j)
+
+    def dense_product(o, d, dh, excl, tri_chunk_clusters=128):
+        n_c = accel.num_clusters
+        r = o.shape[0]
+        g = min(tri_chunk_clusters, n_c)
+        n_steps = -(-n_c // g)
+        cids = jnp.arange(n_steps * g, dtype=jnp.int32)
+        wrap = cids >= n_c                      # mask re-visits
+        cids = (cids % n_c).reshape(n_steps, g)
+        wrap = wrap.reshape(n_steps, g)
+
+        def body(prod, args):
+            cid, w = args
+            tri = jnp.broadcast_to(
+                accel.tri_c[cid].reshape(1, g * csz, 3, 3),
+                (r, g * csz, 3, 3))
+            eid = jnp.where(w[:, None], -1,
+                            accel.old_id[cid]).reshape(1, g * csz)
+            eid = jnp.broadcast_to(eid, (r, g * csz))
+            t_eff = slab_for(o, d, dh, tri, eid, excl)
+            return prod * jnp.prod(t_eff, axis=-1), None
+
+        init = jnp.ones((r,), jnp.complex64)
+        prod, _ = jax.lax.scan(body, init, (cids, wrap))
+        return prod
+
+    def one_chunk(o, d, dh, excl):
+        r = o.shape[0]
+        t_entry = _slab_entry(o, d, accel.lo, accel.hi, one)
+        ids, t_sort, n_steps, _, cnt = _top_clusters(
+            t_entry, k_max, group)
+
+        def body(prod, k):
+            cid = jax.lax.dynamic_slice_in_dim(
+                ids, k * group, group, axis=1)
+            ts = jax.lax.dynamic_slice_in_dim(
+                t_sort, k * group, group, axis=1)
+            tri = accel.tri_c[cid].reshape(r, group * csz, 3, 3)
+            eid = accel.old_id[cid].reshape(r, group * csz)
+            # padded top-k slots (inf entry) must not contribute
+            eid = jnp.where(
+                jnp.repeat(jnp.isfinite(ts), csz, axis=1), eid, -1)
+            t_eff = slab_for(o, d, dh, tri, eid, excl)
+            return prod * jnp.prod(t_eff, axis=-1), None
+
+        init = jnp.ones((r,), jnp.complex64)
+
+        def process(_):
+            prod, _ = jax.lax.scan(body, init, jnp.arange(n_steps))
+            return prod
+
+        prod = jax.lax.cond(jnp.any(cnt > 0), process,
+                            lambda _: init, None)
+        exact = cnt <= k_max
+
+        def repair(_):
+            d_p = dense_product(o, d, dh, excl)
+            return jnp.where(exact, prod, d_p)
+
+        return jax.lax.cond(jnp.all(exact), lambda _: prod,
+                            repair, None)
+
+    num_rays = orig.shape[0]
+    if num_rays <= ray_chunk:
+        return one_chunk(orig, dirs, d_hat, excl_ids)
+    o_c, d_c, _ = _ray_chunks(orig, dirs, ray_chunk)
+    dh_c, _, _ = _ray_chunks(d_hat, dirs, ray_chunk)
+    n_chunks = o_c.shape[0]
+    if excl_ids is not None:
+        k_e = excl_ids.shape[1]
+        pad = n_chunks * ray_chunk - num_rays
+        e_c = jnp.concatenate(
+            [excl_ids, jnp.full((pad, k_e), -2, excl_ids.dtype)],
+            axis=0).reshape(n_chunks, ray_chunk, k_e)
+    else:
+        e_c = None
+
+    def body(_, args):
+        if e_c is None:
+            o, d, dh = args
+            return None, one_chunk(o, d, dh, None)
+        o, d, dh, e = args
+        return None, one_chunk(o, d, dh, e)
+
+    xs = (o_c, d_c, dh_c) if e_c is None else (o_c, d_c, dh_c, e_c)
+    _, p_c = jax.lax.scan(body, None, xs)
+    return p_c.reshape(-1)[:num_rays]

@@ -70,9 +70,10 @@ class RadioMapSolver:
     def __call__(self, scene, cell_size=(5., 5.), size=None,
                  center=None, height=1.5, max_depth=2,
                  samples_per_src=20000, los=True,
-                 specular_reflection=True, diffraction=False,
-                 diffuse_reflection=False, diffuse_samples=1024,
-                 max_num_wedges=2000, noise_power_w=1e-13):
+                 specular_reflection=True, refraction=True,
+                 diffraction=False, diffuse_reflection=False,
+                 diffuse_samples=1024, max_num_wedges=2000,
+                 noise_power_w=1e-13):
         # Measurement grid on a horizontal plane at ``height``
         tris = scene.triangles
         if size is None:
@@ -115,6 +116,7 @@ class RadioMapSolver:
                            samples_per_src=samples_per_src,
                            los=los,
                            specular_reflection=specular_reflection,
+                           refraction=refraction,
                            diffraction=diffraction,
                            diffuse_reflection=diffuse_reflection,
                            diffuse_samples=diffuse_samples,

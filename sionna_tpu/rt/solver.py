@@ -212,6 +212,106 @@ def any_blocking_hit(orig, dirs, tri, excl_ids=None,
     return blocked
 
 
+def _slab_transmission(cos_i, eta, d_th, lam):
+    """ITU-R P.2040 single-layer slab transmission coefficients.
+
+    cos_i: |cos| of the incidence angle (broadcastable), eta: complex
+    relative permittivity, d_th: slab thickness [m], lam: wavelength
+    [m].  Returns (t_te, t_tm) complex field transmission through the
+    slab including internal multiple reflections:
+
+        T = (1 - r^2) e^{-jq} / (1 - r^2 e^{-2jq}),
+        q = 2 pi d/lam * sqrt(eta - sin^2 theta_1)
+
+    with r the TE/TM single-interface Fresnel coefficient, times the
+    insertion correction e^{+j 2 pi d cos(theta_1) / lam}: the
+    geometric path already counts the slab crossing as free space, so
+    the returned factor is the slab's INSERTION transfer function
+    (vacuum -> exactly 1).  Exact for a homogeneous slab; at normal
+    incidence TE and TM agree."""
+    cos_i = jnp.clip(cos_i, 0., 1.)
+    sin2 = 1. - cos_i ** 2
+    root = jnp.sqrt(eta - sin2)
+    r_te = (cos_i - root) / (cos_i + root)
+    r_tm = (eta * cos_i - root) / (eta * cos_i + root)
+    q = (2. * PI * d_th / lam) * root
+    corr = jnp.exp(1j * (2. * PI * d_th / lam)
+                   * cos_i.astype(jnp.complex64))
+
+    def slab(r):
+        e1 = jnp.exp(-1j * q.astype(jnp.complex64))
+        return ((1. - r ** 2) * e1
+                / (1. - (r ** 2) * e1 * e1 + 1e-30)) * corr
+
+    return (slab(r_te.astype(jnp.complex64)),
+            slab(r_tm.astype(jnp.complex64)))
+
+
+def transmission_product(orig, dirs, tri, eta_tri, th_tri, lam,
+                         excl_ids=None, max_elems=16_000_000,
+                         accel=None):
+    """Complex transmission factor of segment [orig, orig+dirs]
+    through every blocking triangle (product of per-blocker slab
+    coefficients, polarization-averaged), ignoring ``excl_ids``.
+
+    Polarization note: each blocker contributes the unpolarized
+    average (t_TE + t_TM)/2 in its own incidence plane, so the product
+    is a scalar and commutes — exact at normal incidence (t_TE = t_TM)
+    and within tenths of a dB of the full polarimetric cascade away
+    from grazing for building materials.  With ``accel``, the query
+    runs through the clustered structure (see accel.py)."""
+    if accel is not None:
+        from .accel import transmission_product_accel
+        return transmission_product_accel(
+            orig, dirs, accel, eta_tri, th_tri, lam,
+            excl_ids=excl_ids)
+    num_rays = orig.shape[0]
+    num_tri = tri.shape[0]
+    chunk = num_tri if num_rays * num_tri <= max_elems \
+        else max(64, max_elems // max(num_rays, 1))
+    n_chunks = -(-num_tri // chunk)
+    pad = n_chunks * chunk - num_tri
+    tri_p = jnp.concatenate(
+        [tri, jnp.zeros((pad, 3, 3), tri.dtype)], axis=0)
+    tri_c = tri_p.reshape(n_chunks, chunk, 3, 3)
+    eta_p = jnp.concatenate(
+        [jnp.asarray(eta_tri, jnp.complex64),
+         jnp.ones((pad,), jnp.complex64)])
+    eta_c = eta_p.reshape(n_chunks, chunk)
+    th_p = jnp.concatenate(
+        [jnp.asarray(th_tri, jnp.float32), jnp.zeros((pad,),
+                                                     jnp.float32)])
+    th_c = th_p.reshape(n_chunks, chunk)
+    n_p = jnp.concatenate(
+        [_tri_normals(tri), jnp.ones((pad, 3), tri.dtype)])
+    n_c = n_p.reshape(n_chunks, chunk, 3)
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    d_hat = dirs / jnp.maximum(
+        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-30)
+
+    def body(prod, args):
+        tri_chunk, eta_k, th_k, n_k, base = args
+        t, hit = moller_trumbore(orig, dirs, tri_chunk)
+        b = hit & (t > 1e-4) & (t < 1. - 1e-4)
+        if excl_ids is not None:
+            gid = base + jnp.arange(tri_chunk.shape[0],
+                                    dtype=jnp.int32)
+            b &= ~jnp.any(
+                gid[None, None, :] == excl_ids[:, :, None], axis=1)
+        cos_i = jnp.abs(jnp.sum(d_hat[:, None, :] * n_k[None],
+                                axis=-1))
+        t_te, t_tm = _slab_transmission(
+            cos_i.astype(jnp.float32), eta_k[None], th_k[None], lam)
+        t_eff = 0.5 * (t_te + t_tm)
+        t_eff = jnp.where(b, t_eff, 1. + 0j)
+        return prod * jnp.prod(t_eff, axis=-1), None
+
+    init = jnp.ones((num_rays,), jnp.complex64)
+    prod, _ = jax.lax.scan(
+        body, init, (tri_c, eta_c, th_c, n_c, bases))
+    return prod
+
+
 def _tri_normals(tri):
     """[T, 3] unit normals"""
     n = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
@@ -400,15 +500,19 @@ class Paths:
 # ----------------------------------------------------------------------
 class PathSolver:
     """Computes propagation paths between all scene transmitters and
-    receivers: LoS, up to ``max_depth`` specular reflections, and
-    optionally first-order UTD wedge diffraction
-    (``diffraction=True``) and single-bounce diffuse scattering
-    (``diffuse_reflection=True``, requires materials with a nonzero
-    ``scattering_coefficient``).
+    receivers: LoS, up to ``max_depth`` specular reflections,
+    transmission through blocking surfaces (``refraction=True``,
+    default, matching the upstream PathSolver — blocked LoS/specular
+    segments are attenuated by the ITU-R P.2040 slab coefficient of
+    each blocker instead of discarded), and optionally first-order
+    UTD wedge diffraction (``diffraction=True``) and single-bounce
+    diffuse scattering (``diffuse_reflection=True``, requires
+    materials with a nonzero ``scattering_coefficient``).  Occlusion
+    of diffracted/scattered paths stays boolean.
 
     Call: solver(scene, max_depth=3, max_num_paths_per_src=100000,
     samples_per_src=20000, los=True, specular_reflection=True,
-    diffraction=False, diffuse_reflection=False,
+    refraction=True, diffraction=False, diffuse_reflection=False,
     diffuse_samples=4096, max_num_wedges=20000, seed=41) -> Paths.
     """
 
@@ -416,6 +520,7 @@ class PathSolver:
                  max_num_paths_per_src=100000,
                  samples_per_src=20000, los=True,
                  specular_reflection=True,
+                 refraction=True,
                  diffraction=False,
                  diffuse_reflection=False,
                  diffuse_samples=4096,
@@ -496,6 +601,9 @@ class PathSolver:
             [m.scattering_coefficient
              for m in scene.triangle_materials]
             if has_geometry else [0.], rd)
+        th_tri = np.array(
+            [m.thickness for m in scene.triangle_materials]
+            if has_geometry else [0.], np.float32)
         tx_j = jnp.asarray(tx_pos)
         rx_j = jnp.asarray(rx_pos)
         # eta/scat stay host NumPy, captured as trace-time constants:
@@ -503,6 +611,7 @@ class PathSolver:
         # transfer layer (only baked into compiled programs)
         eta_j = eta_tri
         scat_j = jnp.asarray(scat_tri)
+        th_j = jnp.asarray(th_tri)
 
         # Fingerprint everything the jitted stages close over, so
         # repeated solves of an unchanged configuration reuse the
@@ -511,6 +620,8 @@ class PathSolver:
         fp.update(scene.triangles.tobytes())
         fp.update(eta_tri.tobytes())
         fp.update(scat_tri.tobytes())
+        fp.update(th_tri.tobytes())
+        fp.update(b"refr1" if refraction else b"refr0")
         for dev in txs + rxs:
             fp.update(dev.orientation.tobytes())
             fp.update(dev.velocity.tobytes())
@@ -536,7 +647,9 @@ class PathSolver:
                 skey,
                 lambda tp, rp, seq=seq:
                 self._eval_sequences(scene, tri, normals, seq, tp,
-                                     rp, eta_j, scat_j, txs, rxs),
+                                     rp, eta_j, scat_j, txs, rxs,
+                                     th_tri=th_j,
+                                     refraction=refraction),
                 tx_j, rx_j)
             out["interactions"] = np.asarray(seq)
             results.append(out)
@@ -776,9 +889,16 @@ class PathSolver:
 
     # ------------------------------------------------------------------
     def _eval_sequences(self, scene, tri, normals, seq, tx_pos,
-                        rx_pos, eta_tri, scat_tri, txs, rxs):
+                        rx_pos, eta_tri, scat_tri, txs, rxs,
+                        th_tri=None, refraction=False):
         """Evaluates all [S] reflection sequences of equal depth D for
-        all TX/RX pairs.  Returns per-path fields with S paths."""
+        all TX/RX pairs.  Returns per-path fields with S paths.
+
+        With ``refraction=True`` blocked segments are not discarded:
+        each blocking triangle multiplies the path amplitude by its
+        ITU-R P.2040 slab transmission coefficient (see
+        :func:`transmission_product`), matching the upstream
+        PathSolver's ``refraction`` interaction."""
         lam = scene.wavelength
         num_tx = tx_pos.shape[0]
         num_rx = rx_pos.shape[0]
@@ -837,8 +957,11 @@ class PathSolver:
         total_len = jnp.sum(seg_len, axis=0)   # [S, tx, rx]
         valid &= total_len > 1e-6
 
-        # --- Occlusion: every segment must be free of intersections,
-        # ignoring the reflecting triangles at its endpoints
+        # --- Occlusion: without refraction every segment must be free
+        # of intersections (ignoring the reflecting triangles at its
+        # endpoints); with refraction each blocker instead multiplies
+        # the amplitude by its slab transmission coefficient
+        trans = jnp.ones((s_count, num_tx, num_rx), jnp.complex64)
         if scene.num_triangles > 0:
             for k in range(depth + 1):
                 o = pts[k].reshape(-1, 3)
@@ -856,10 +979,18 @@ class PathSolver:
                     excl_ids = jnp.broadcast_to(
                         excl[:, None, None, :],
                         (s_count, num_tx, num_rx, 2)).reshape(-1, 2)
-                blocked = any_blocking_hit(
-                    o, d, tri, excl_ids=excl_ids,
-                    accel=getattr(self, "_accel", None))
-                valid &= ~blocked.reshape(s_count, num_tx, num_rx)
+                if refraction:
+                    t_seg = transmission_product(
+                        o, d, tri, eta_tri, th_tri, lam,
+                        excl_ids=excl_ids,
+                        accel=getattr(self, "_accel", None))
+                    trans = trans * t_seg.reshape(
+                        s_count, num_tx, num_rx)
+                else:
+                    blocked = any_blocking_hit(
+                        o, d, tri, excl_ids=excl_ids,
+                        accel=getattr(self, "_accel", None))
+                    valid &= ~blocked.reshape(s_count, num_tx, num_rx)
 
         # --- Polarized field transfer (Jones matrix cascade)
         # basis vectors transverse to the first segment
@@ -867,7 +998,6 @@ class PathSolver:
         jones = jnp.broadcast_to(
             jnp.eye(2, dtype=jnp.complex64),
             (s_count, num_tx, num_rx, 2, 2))
-        gain = jnp.ones((s_count, num_tx, num_rx), jnp.complex64)
         for k in range(depth):
             d_in = d_hat[k]
             d_out = d_hat[k + 1]
@@ -922,7 +1052,7 @@ class PathSolver:
 
         mag = (lam / (4. * PI * jnp.maximum(total_len, 1e-9))
                ).astype(jnp.float32)
-        amp = mag * _phase_exp(total_len, lam)
+        amp = mag * _phase_exp(total_len, lam) * trans
         tau = total_len / SPEED_OF_LIGHT
         return self._combine(scene, txs, rxs, d_hat[0], u_r, jones,
                              amp, valid, tau)

@@ -100,7 +100,11 @@ def test_occlusion_blocks_los():
     sc.rx_array = _iso()
     sc.add(Transmitter("tx", [-5., 0., 5.]))
     sc.add(Receiver("rx", [5., 0., 5.]))
-    p = PathSolver()(sc, max_depth=1, samples_per_src=5000)
+    # refraction=False: strict occlusion semantics (with the default
+    # refraction=True the blocked LoS survives attenuated — see
+    # tests/test_rt_refraction.py)
+    p = PathSolver()(sc, max_depth=1, samples_per_src=5000,
+                     refraction=False)
     v = np.asarray(p.valid)[0, 0]
     lens = np.asarray(p.tau)[0, 0][v] * C
     assert not np.any(np.isclose(lens, 10., atol=1e-3))

@@ -1,0 +1,180 @@
+"""Transmission (refraction) through blocking surfaces: ITU-R P.2040
+slab model, insertion-normalized.  Mirrors the upstream PathSolver's
+``refraction`` flag (reference tutorials call
+``p_solver(scene, refraction=False)`` to disable it —
+Link_Level_Simulations_with_RT.ipynb)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sionna_tpu.rt import (load_scene, Transmitter, Receiver,
+                           PlanarArray, PathSolver, RadioMapSolver)
+from sionna_tpu.rt.solver import _slab_transmission, transmission_product
+from sionna_tpu.rt.scene import Scene
+
+C = 299792458.
+
+
+def _iso():
+    return PlanarArray(1, 1, pattern="iso", polarization="V")
+
+
+def _wall_scene(material="itu_concrete", frequency=3e9):
+    """A single square wall (two triangles) in the y-z plane at
+    x = 0."""
+    v = np.array([[0., -10., -10.], [0., 10., -10.],
+                  [0., 10., 10.], [0., -10., 10.]])
+    tris = np.array([[v[0], v[1], v[2]], [v[0], v[2], v[3]]])
+    sc = Scene(triangles=tris, material_names=[material] * 2,
+               frequency=frequency, name="wall")
+    sc.tx_array = _iso()
+    sc.rx_array = _iso()
+    return sc
+
+
+def _slab_analytic(eta, d, lam, cos_i=1.0):
+    """NumPy oracle: ITU-R P.2040 slab insertion transfer function."""
+    sin2 = 1. - cos_i ** 2
+    root = np.sqrt(eta - sin2)
+    r_te = (cos_i - root) / (cos_i + root)
+    r_tm = (eta * cos_i - root) / (eta * cos_i + root)
+    q = 2. * np.pi * d / lam * root
+    corr = np.exp(1j * 2. * np.pi * d / lam * cos_i)
+
+    def slab(r):
+        e1 = np.exp(-1j * q)
+        return (1. - r ** 2) * e1 / (1. - r ** 2 * e1 * e1) * corr
+
+    return slab(r_te), slab(r_tm)
+
+
+def test_slab_transmission_vacuum_is_identity():
+    t_te, t_tm = _slab_transmission(
+        jnp.asarray([1.0, 0.6]), jnp.asarray(1. + 0j), 0.3, 0.1)
+    np.testing.assert_allclose(np.asarray(t_te), 1., atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t_tm), 1., atol=1e-6)
+
+
+@pytest.mark.parametrize("cos_i", [1.0, 0.8, 0.4])
+def test_slab_transmission_matches_oracle(cos_i):
+    eta = 5.24 - 0.46j
+    d, lam = 0.1, 0.0857
+    t_te, t_tm = _slab_transmission(
+        jnp.asarray(cos_i), jnp.asarray(eta, jnp.complex64),
+        jnp.asarray(d), lam)
+    o_te, o_tm = _slab_analytic(eta, d, lam, cos_i)
+    np.testing.assert_allclose(np.asarray(t_te), o_te, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(t_tm), o_tm, rtol=1e-4)
+    assert abs(np.asarray(t_te)) < 1. and abs(np.asarray(t_tm)) < 1.
+
+
+def test_through_wall_los_amplitude():
+    """TX and RX on opposite sides of a concrete wall at normal
+    incidence: with refraction the LoS path exists with amplitude
+    Friis * |T_slab|; without it the path is gone."""
+    f = 3e9
+    sc = _wall_scene(frequency=f)
+    # z=1 keeps the crossing point off the quad's shared diagonal
+    # (a point exactly on the edge would register in both triangles)
+    sc.add(Transmitter("tx", [-5., 0., 1.]))
+    sc.add(Receiver("rx", [5., 0., 1.]))
+    solver = PathSolver()
+
+    p = solver(sc, max_depth=0, samples_per_src=100, refraction=True)
+    v = np.asarray(p.valid)[0, 0]
+    assert v.sum() == 1
+    a = np.asarray(p.a)[0, 0, 0, 0][v][0]
+
+    lam = C / f
+    friis = lam / (4. * np.pi * 10.)
+    mat = sc.triangle_materials[0]
+    eta = mat.complex_relative_permittivity(f)
+    t_te, _ = _slab_analytic(eta, mat.thickness, lam)
+    # both wall triangles lie in the same plane -> the segment crosses
+    # exactly one of them
+    np.testing.assert_allclose(np.abs(a), friis * np.abs(t_te),
+                               rtol=1e-3)
+
+    p0 = solver(sc, max_depth=0, samples_per_src=100,
+                refraction=False)
+    assert np.asarray(p0.valid).sum() == 0
+
+
+def test_transmission_product_multiple_walls():
+    """Two parallel walls multiply their slab coefficients."""
+    f = 3e9
+    v = np.array([[0., -10., -10.], [0., 10., -10.],
+                  [0., 10., 10.], [0., -10., 10.]])
+    tris = np.concatenate([
+        np.array([[v[0], v[1], v[2]], [v[0], v[2], v[3]]]),
+        np.array([[v[0], v[1], v[2]], [v[0], v[2], v[3]]])
+        + np.array([2., 0., 0.])])
+    sc = Scene(triangles=tris, material_names=["itu_concrete"] * 4,
+               frequency=f, name="two_walls")
+    sc.tx_array = _iso()
+    sc.rx_array = _iso()
+    sc.add(Transmitter("tx", [-5., 0., 1.]))
+    sc.add(Receiver("rx", [7., 0., 1.]))
+    p = PathSolver()(sc, max_depth=0, samples_per_src=100,
+                     refraction=True)
+    v_m = np.asarray(p.valid)[0, 0]
+    a = np.asarray(p.a)[0, 0, 0, 0][v_m][0]
+    lam = C / f
+    friis = lam / (4. * np.pi * 12.)
+    mat = sc.triangle_materials[0]
+    eta = mat.complex_relative_permittivity(f)
+    t_te, _ = _slab_analytic(eta, mat.thickness, lam)
+    np.testing.assert_allclose(np.abs(a), friis * np.abs(t_te) ** 2,
+                               rtol=1e-3)
+
+
+def test_radio_map_refraction_fills_shadow():
+    """Coverage behind a wall is nonzero with refraction and (near)
+    zero without (LoS only)."""
+    sc = _wall_scene(frequency=3e9)
+    sc.add(Transmitter("tx", [-5., 0., 0.]))
+    rm_kw = dict(cell_size=(2., 2.), size=(8., 8.),
+                 center=(5., 0., 0.), max_depth=0,
+                 samples_per_src=100)
+    rm_on = RadioMapSolver()(sc, refraction=True, **rm_kw)
+    rm_off = RadioMapSolver()(sc, refraction=False, **rm_kw)
+    g_on = np.asarray(rm_on.path_gain)
+    g_off = np.asarray(rm_off.path_gain)
+    assert g_on.max() > 0.
+    assert g_off.max() == 0.
+    # attenuated, not free-space: gain must be below the unobstructed
+    # Friis level of the nearest cell
+    lam = C / 3e9
+    assert g_on.max() < (lam / (4 * np.pi * 7.)) ** 2
+
+
+def test_transmission_accel_matches_dense():
+    """The clustered accel transmission query equals the dense
+    product on a >=2048-triangle scene."""
+    from sionna_tpu.rt import make_city
+    from sionna_tpu.rt.accel import (build_accel,
+                                     transmission_product_accel)
+    city = make_city(4, 4, subdiv=5)
+    tri_np = city.triangles.astype(np.float32)
+    tri = jnp.asarray(tri_np)
+    accel = build_accel(tri_np)
+    assert tri_np.shape[0] >= 2048
+    rng = np.random.default_rng(5)
+    n_seg = 257
+    o = rng.uniform([-40, -40, 0.5], [40, 40, 3.], (n_seg, 3))
+    e = rng.uniform([-40, -40, 0.5], [40, 40, 30.], (n_seg, 3))
+    d = (e - o).astype(np.float32)
+    o = o.astype(np.float32)
+    eta = np.full((tri_np.shape[0],), 5.24 - 0.46j, np.complex64)
+    th = np.full((tri_np.shape[0],), 0.1, np.float32)
+    lam = 0.0857
+    t_dense = np.asarray(transmission_product(
+        jnp.asarray(o), jnp.asarray(d), tri, eta, th, lam))
+    t_accel = np.asarray(transmission_product_accel(
+        jnp.asarray(o), jnp.asarray(d), accel, eta, th, lam))
+    np.testing.assert_allclose(t_accel, t_dense, rtol=1e-4, atol=1e-5)
+    # sanity: some segments are actually attenuated
+    assert (np.abs(t_dense) < 0.99).sum() > 10
