@@ -494,6 +494,53 @@ class Paths:
         return jnp.asarray(a), jnp.asarray(
             tau.astype(_host_real_dtype()))
 
+    def cfr(self, frequencies, sampling_frequency=None,
+            num_time_steps=1, normalize_delays=False,
+            normalize=False, out_type="jax"):
+        """Channel frequency response at baseband ``frequencies``
+        (upstream Paths.cfr; used e.g. in the reference's
+        SYS_Meets_RT tutorial):
+
+        h[..., t, f] = sum_p a_p(t) exp(-2j pi f tau_p)
+
+        Returns [num_rx, num_rx_ant, num_tx, num_tx_ant,
+        num_time_steps, num_freqs]."""
+        from ..phy.channel.utils import cir_to_ofdm_channel
+        a, tau = self.cir(sampling_frequency=sampling_frequency,
+                          num_time_steps=num_time_steps,
+                          normalize_delays=normalize_delays,
+                          out_type="numpy")
+        # cir_to_ofdm_channel expects batched [b, rx, rxa, tx, txa,
+        # P, T] with tau [b, rx, tx, P]
+        h = cir_to_ofdm_channel(np.asarray(frequencies), a[None],
+                                tau[None], normalize=normalize)
+        # [1, rx, rxa, tx, txa, T, F] -> drop batch
+        h = np.asarray(h)[0]
+        if out_type == "numpy":
+            return h
+        return jnp.asarray(h)
+
+    def taps(self, bandwidth, l_min, l_max, sampling_frequency=None,
+             num_time_steps=1, normalize=False,
+             normalize_delays=True, out_type="jax"):
+        """Bandlimited discrete-time channel taps (upstream
+        Paths.taps): sinc-reconstructed taps at lags l_min..l_max for
+        a system of ``bandwidth`` Hz.
+
+        Returns [num_rx, num_rx_ant, num_tx, num_tx_ant,
+        num_time_steps, l_max - l_min + 1]."""
+        from ..phy.channel.utils import cir_to_time_channel
+        a, tau = self.cir(sampling_frequency=sampling_frequency,
+                          num_time_steps=num_time_steps,
+                          normalize_delays=normalize_delays,
+                          out_type="numpy")
+        hm = cir_to_time_channel(bandwidth, a[None], tau[None],
+                                 l_min, l_max, normalize=normalize)
+        hm = np.asarray(hm)[0]
+        if out_type == "numpy":
+            return hm
+        return jnp.asarray(hm)
+
 
 # ----------------------------------------------------------------------
 # Path solver

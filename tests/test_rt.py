@@ -357,3 +357,38 @@ def test_trace_functional_differentiable():
     l_m = loss(txp, rxp.at[0, 0].add(-eps), eta, scat)
     num = (l_p - l_m) / (2 * eps)
     np.testing.assert_allclose(np.asarray(g_rx)[0, 0], num, rtol=2e-2)
+
+
+def test_paths_cfr_and_taps():
+    """Paths.cfr / Paths.taps (upstream API used by SYS_Meets_RT /
+    LinkAdaptation tutorials) match direct evaluation from cir()."""
+    sc = load_scene("simple_reflector", frequency=3e9)
+    sc.tx_array = _iso()
+    sc.rx_array = _iso()
+    sc.add(Transmitter("tx", [-10., 0., 10.]))
+    sc.add(Receiver("rx", [10., 0., 10.]))
+    paths = PathSolver()(sc, max_depth=1, samples_per_src=20000)
+    freqs = np.linspace(-0.5e6, 0.5e6, 8)
+    h = paths.cfr(freqs, sampling_frequency=1e3, num_time_steps=3,
+                  out_type="numpy")
+    a, tau = paths.cir(sampling_frequency=1e3, num_time_steps=3,
+                       out_type="numpy")
+    # manual DFT over paths
+    ph = np.exp(-2j * np.pi * freqs[None, :]
+                * np.asarray(tau)[0, 0][:, None])  # [P, F]
+    h_ref = np.einsum("pt,pf->tf", a[0, 0, 0, 0], ph)
+    np.testing.assert_allclose(h, h_ref[None, None, None, None],
+                               rtol=1e-5, atol=1e-12)
+    assert h.shape == (1, 1, 1, 1, 3, 8)
+
+    bw, l_min, l_max = 10e6, 0, 20
+    hm = paths.taps(bw, l_min, l_max, sampling_frequency=1e3,
+                    num_time_steps=2, normalize_delays=False,
+                    out_type="numpy")
+    a2, tau2 = paths.cir(sampling_frequency=1e3, num_time_steps=2,
+                         out_type="numpy")
+    lags = np.arange(l_min, l_max + 1)
+    sinc = np.sinc(lags[None, :] - bw * np.asarray(tau2)[0, 0][:, None])
+    hm_ref = np.einsum("pt,pl->tl", a2[0, 0, 0, 0], sinc)
+    np.testing.assert_allclose(hm, hm_ref[None, None, None, None],
+                               rtol=1e-5, atol=1e-12)
