@@ -22,11 +22,13 @@ class RadioMap:
     path_gain / rss / sinr: [num_tx, num_cells_y, num_cells_x]."""
 
     def __init__(self, path_gain, cell_centers, tx_powers_dbm,
-                 noise_power_w=1e-13):
+                 noise_power_w=1e-13, tx_positions=None):
         self.path_gain = path_gain
         self.cell_centers = cell_centers
         self._tx_powers_dbm = np.asarray(tx_powers_dbm)
         self._noise_power_w = float(noise_power_w)
+        self._tx_positions = (None if tx_positions is None
+                              else np.asarray(tx_positions))
 
     @property
     def rss(self):
@@ -42,6 +44,65 @@ class RadioMap:
         best = np.max(rss, axis=0, keepdims=True)
         interference = total - best
         return (best / (interference + self._noise_power_w))[0]
+
+    def sample_positions(self, num_pos, metric="path_gain", tx=0,
+                         min_val_db=None, max_val_db=None,
+                         min_dist=None, max_dist=None, seed=1):
+        """Samples random positions from cells whose ``metric`` lies
+        in [min_val_db, max_val_db] dB and whose distance to the
+        serving TX lies in [min_dist, max_dist] m (upstream
+        RadioMap.sample_positions, used to drop UEs by coverage —
+        Link_Level_Simulations_with_RT.ipynb).
+
+        Returns (positions [num_pos, 3], cell_indices [num_pos, 2])
+        with positions jittered uniformly inside their cell."""
+        if metric == "path_gain":
+            val = np.asarray(self.path_gain)[tx]
+        elif metric == "rss":
+            val = np.asarray(self.rss)[tx]
+        elif metric == "sinr":
+            val = np.asarray(self.sinr)
+        else:
+            raise ValueError(f"Unknown metric {metric!r}")
+        db = 10. * np.log10(np.maximum(val, 1e-30))
+        ok = np.isfinite(db)
+        if min_val_db is not None:
+            ok &= db >= min_val_db
+        if max_val_db is not None:
+            ok &= db <= max_val_db
+        cells = np.asarray(self.cell_centers)        # [ny, nx, 3]
+        if (min_dist is not None or max_dist is not None):
+            if self._tx_positions is None:
+                raise ValueError(
+                    "Distance filters need TX positions; this "
+                    "RadioMap was built without them")
+            d = np.linalg.norm(
+                cells - self._tx_positions[tx][None, None], axis=-1)
+            if min_dist is not None:
+                ok &= d >= min_dist
+            if max_dist is not None:
+                ok &= d <= max_dist
+        iy, ix = np.nonzero(ok)
+        if iy.size == 0:
+            raise ValueError(
+                "No radio-map cell satisfies the requested "
+                "metric/distance constraints")
+        rng = np.random.default_rng(seed)
+        pick = rng.integers(0, iy.size, int(num_pos))
+        sel = np.stack([iy[pick], ix[pick]], axis=-1)  # [num_pos, 2]
+        pos = cells[sel[:, 0], sel[:, 1]].astype(np.float64)
+        # jitter uniformly within the cell footprint
+        if cells.shape[1] > 1:
+            cx = abs(float(cells[0, 1, 0] - cells[0, 0, 0]))
+        else:
+            cx = 0.
+        if cells.shape[0] > 1:
+            cy = abs(float(cells[1, 0, 1] - cells[0, 0, 1]))
+        else:
+            cy = 0.
+        pos[:, 0] += rng.uniform(-cx / 2, cx / 2, pos.shape[0])
+        pos[:, 1] += rng.uniform(-cy / 2, cy / 2, pos.shape[0])
+        return pos, sel
 
     def show(self, metric="path_gain", tx=0):
         """Plots a metric in dB over the grid."""
@@ -69,11 +130,15 @@ class RadioMapSolver:
 
     def __call__(self, scene, cell_size=(5., 5.), size=None,
                  center=None, height=1.5, max_depth=2,
-                 samples_per_src=20000, los=True,
+                 samples_per_src=20000, samples_per_tx=None,
+                 los=True,
                  specular_reflection=True, refraction=True,
                  diffraction=False, diffuse_reflection=False,
                  diffuse_samples=1024, max_num_wedges=2000,
                  noise_power_w=1e-13):
+        # upstream RadioMapSolver names the ray budget samples_per_tx
+        if samples_per_tx is not None:
+            samples_per_src = int(samples_per_tx)
         # Measurement grid on a horizontal plane at ``height``
         tris = scene.triangles
         if size is None:
@@ -137,5 +202,9 @@ class RadioMapSolver:
 
         tx_powers = np.array(
             [t.power_dbm for t in scene.transmitters.values()])
+        tx_positions = np.stack(
+            [np.asarray(t.position)
+             for t in scene.transmitters.values()])
         return RadioMap(gain, cells, tx_powers,
-                        noise_power_w=noise_power_w)
+                        noise_power_w=noise_power_w,
+                        tx_positions=tx_positions)

@@ -42,12 +42,18 @@ def _material_albedo(name):
 
 
 def render(scene, camera=None, resolution=(320, 240), fov=45.,
-           light_dir=(0.35, -0.25, 0.9)):
+           light_dir=(0.35, -0.25, 0.9), radio_map=None,
+           rm_metric="path_gain", rm_vmin=None, rm_vmax=None,
+           rm_tx=0, clip_at=None):
     """Renders the scene from ``camera`` (or the first registered
     camera) to an RGB image [h, w, 3] in [0, 1].
 
     Transmitters render as red markers, receivers as green ones
-    (billboard spheres of ~1% of the scene diagonal)."""
+    (billboard spheres of ~1% of the scene diagonal).  ``radio_map``
+    overlays a RadioMap's metric (dB colormap between ``rm_vmin`` /
+    ``rm_vmax``) on its measurement plane; ``clip_at`` removes all
+    triangles whose centroid is above that height [m] (upstream
+    Scene.render semantics for looking into street canyons)."""
     if camera is None:
         if not scene.cameras:
             raise ValueError("The scene has no camera; add one or "
@@ -69,10 +75,43 @@ def render(scene, camera=None, resolution=(320, 240), fov=45.,
                            d_world.shape)
 
     tri_np = np.asarray(scene.triangles)
-    has_geometry = tri_np.shape[0] > 0
-    mats = scene.triangle_materials if has_geometry else []
+    mats = scene.triangle_materials if tri_np.shape[0] else []
     albedo = np.stack([_material_albedo(m.name) for m in mats]) \
-        if has_geometry else np.zeros((1, 3))
+        if tri_np.shape[0] else np.zeros((1, 3))
+    if clip_at is not None and tri_np.shape[0]:
+        keep = tri_np.mean(axis=1)[:, 2] <= float(clip_at)
+        tri_np = tri_np[keep]
+        albedo = albedo[keep] if albedo.shape[0] == keep.shape[0] \
+            else albedo
+    has_geometry = tri_np.shape[0] > 0
+
+    # Radio-map overlay: precompute the dB image over the rm grid
+    rm_cells = rm_img = None
+    if radio_map is not None:
+        if rm_metric == "path_gain":
+            val = np.asarray(radio_map.path_gain)[rm_tx]
+        elif rm_metric == "rss":
+            val = np.asarray(radio_map.rss)[rm_tx]
+        elif rm_metric == "sinr":
+            val = np.asarray(radio_map.sinr)
+        else:
+            raise ValueError(f"Unknown rm_metric {rm_metric!r}")
+        db = 10. * np.log10(np.maximum(val, 1e-30))
+        lo_db = (np.percentile(db[np.isfinite(db)], 5.)
+                 if rm_vmin is None else float(rm_vmin))
+        hi_db = (db.max() if rm_vmax is None else float(rm_vmax))
+        t = np.clip((db - lo_db) / max(hi_db - lo_db, 1e-9), 0., 1.)
+        # viridis-like 3-stop ramp (dark blue -> teal -> yellow)
+        stops = np.array([[0.27, 0.0, 0.33], [0.13, 0.57, 0.55],
+                          [0.99, 0.91, 0.14]])
+        seg = np.clip(t * 2., 0., 2.)
+        c0 = stops[np.minimum(seg.astype(int), 1)]
+        c1 = stops[np.minimum(seg.astype(int) + 1, 2)]
+        frac = (seg - np.floor(np.minimum(seg, 1.9999)))[..., None]
+        rm_img = c0 + frac * (c1 - c0)       # [ny, nx, 3]
+        rm_img = np.where((db <= lo_db)[..., None], _SKY * 0. + 0.15,
+                          rm_img)
+        rm_cells = np.asarray(radio_map.cell_centers)  # [ny, nx, 3]
 
     # device markers as billboard spheres
     if has_geometry:
@@ -95,7 +134,10 @@ def render(scene, camera=None, resolution=(320, 240), fov=45.,
         fp.update(np.asarray(c).tobytes())
     fp.update(repr((w, h, fov, tuple(light_dir),
                     tuple(camera.position),
-                    tuple(camera.orientation))).encode())
+                    tuple(camera.orientation), clip_at)).encode())
+    if rm_img is not None:
+        fp.update(rm_img.tobytes())
+        fp.update(rm_cells.tobytes())
     key = fp.hexdigest()
 
     jitted = _RENDER_CACHE.get(key)
@@ -139,6 +181,34 @@ def render(scene, camera=None, resolution=(320, 240), fov=45.,
                                 jnp.asarray(np.asarray(c, np.float64)
                                             .astype(o.dtype)), img)
                 depth = jnp.where(m_hit, t_hit, depth)
+            if rm_img is not None:
+                # semi-transparent overlay on the measurement plane
+                ny, nx = rm_img.shape[:2]
+                z0 = float(rm_cells[0, 0, 2])
+                x0 = float(rm_cells[0, 0, 0])
+                y0 = float(rm_cells[0, 0, 1])
+                dx = (float(rm_cells[0, -1, 0]) - x0) / max(nx - 1, 1)
+                dy = (float(rm_cells[-1, 0, 1]) - y0) / max(ny - 1, 1)
+                dz = d[:, 2]
+                t_pl = jnp.where(jnp.abs(dz) > 1e-9,
+                                 (z0 - o[:, 2]) / dz, jnp.inf)
+                p = o + t_pl[:, None] * d
+                ix = jnp.round((p[:, 0] - x0)
+                               / max(abs(dx), 1e-9)).astype(jnp.int32)
+                iy = jnp.round((p[:, 1] - y0)
+                               / max(abs(dy), 1e-9)).astype(jnp.int32)
+                if dx < 0:
+                    ix = -ix
+                if dy < 0:
+                    iy = -iy
+                inside = ((t_pl > 0.) & (ix >= 0) & (ix < nx)
+                          & (iy >= 0) & (iy < ny)
+                          & (t_pl < depth + 1e-6))
+                col = jnp.asarray(rm_img.astype(np.float64)
+                                  .astype(o.dtype))[
+                    jnp.clip(iy, 0, ny - 1), jnp.clip(ix, 0, nx - 1)]
+                img = jnp.where(inside[:, None],
+                                0.35 * img + 0.65 * col, img)
             return img.astype(jnp.float32)
 
         jitted = jax.jit(prog)

@@ -175,11 +175,36 @@ class Scene:
         for i in ids:
             self._tri_material_names[i] = material_name
 
-    def render(self, camera=None, resolution=(320, 240), fov=45.):
+    @property
+    def bandwidth(self):
+        """Transmission bandwidth [Hz] (upstream Scene.bandwidth;
+        used e.g. for CFR sampling in the SYS_Meets_RT flow)."""
+        return getattr(self, "_bandwidth", 1e6)
+
+    @bandwidth.setter
+    def bandwidth(self, value):
+        self._bandwidth = float(value)
+
+    def render(self, camera=None, resolution=(320, 240), fov=45.,
+               radio_map=None, rm_metric="path_gain", rm_vmin=None,
+               rm_vmax=None, rm_tx=0, clip_at=None):
         """Ray-cast RGB rendering of the scene (see
-        sionna_tpu.rt.render.render)."""
+        sionna_tpu.rt.render.render).  ``radio_map`` overlays a
+        :class:`RadioMap` on its measurement plane; ``clip_at``
+        removes geometry above that height [m] so interiors stay
+        visible (upstream Scene.render kwargs)."""
         from .render import render as _render
-        return _render(self, camera, resolution=resolution, fov=fov)
+        return _render(self, camera, resolution=resolution, fov=fov,
+                       radio_map=radio_map, rm_metric=rm_metric,
+                       rm_vmin=rm_vmin, rm_vmax=rm_vmax, rm_tx=rm_tx,
+                       clip_at=clip_at)
+
+    def preview(self, **kwargs):
+        """Static fallback for the upstream interactive 3D preview
+        widget: renders the same view via :meth:`render` (an
+        interactive viewer needs a notebook frontend, which this
+        environment does not ship)."""
+        return self.render(**kwargs)
 
     def __repr__(self):
         return (f"Scene(name={self.name!r}, "

@@ -392,3 +392,41 @@ def test_paths_cfr_and_taps():
     hm_ref = np.einsum("pt,pl->tl", a2[0, 0, 0, 0], sinc)
     np.testing.assert_allclose(hm, hm_ref[None, None, None, None],
                                rtol=1e-5, atol=1e-12)
+
+
+def test_radio_map_sample_positions_and_render_overlay():
+    """RadioMap.sample_positions + Scene.render(radio_map=...) +
+    scene.preview / scene.bandwidth (upstream API from
+    Link_Level_Simulations_with_RT / SYS_Meets_RT)."""
+    from sionna_tpu.rt import Camera
+    sc = load_scene("simple_street_canyon", frequency=3.5e9)
+    sc.tx_array = _iso()
+    sc.rx_array = _iso()
+    sc.add(Transmitter("tx", [-20., 0., 10.]))
+    sc.bandwidth = 32 * 30e3
+    assert sc.bandwidth == 32 * 30e3
+    rm = RadioMapSolver()(sc, cell_size=(4., 4.), size=(60., 60.),
+                          center=(0., 0., 1.5), max_depth=1,
+                          samples_per_tx=20000)   # upstream kwarg
+    pos, cells = rm.sample_positions(
+        50, metric="path_gain", min_val_db=-130., max_val_db=0.,
+        min_dist=5., max_dist=60., seed=3)
+    assert pos.shape == (50, 3) and cells.shape == (50, 2)
+    d = np.linalg.norm(pos - np.array([-20., 0., 10.]), axis=-1)
+    # cell jitter can move a sample at most half a diagonal outside
+    assert (d >= 5. - 3.).all() and (d <= 60. + 3.).all()
+    g = np.asarray(rm.path_gain)[0, cells[:, 0], cells[:, 1]]
+    db = 10 * np.log10(g)
+    assert (db >= -130.).all() and (db <= 0.).all()
+
+    cam = Camera("cam", [0., -80., 60.])
+    cam.look_at([0., 0., 0.])
+    sc.add(cam)
+    img_plain = sc.render(camera=cam, resolution=(64, 48))
+    img_rm = sc.render(camera=cam, resolution=(64, 48), radio_map=rm,
+                       rm_vmin=-110., clip_at=10.)
+    assert img_rm.shape == (48, 64, 3)
+    assert np.isfinite(img_rm).all()
+    assert not np.allclose(img_plain, img_rm)  # overlay visible
+    img_prev = sc.preview(camera=cam, resolution=(64, 48))
+    np.testing.assert_array_equal(img_prev, img_plain)
