@@ -164,6 +164,11 @@ class PUSCHConfig(Config):
 
     @property
     def transform_precoding(self):
+        """Transform precoding flag (reference pusch_config.py:250).
+
+        Like the reference, the flag selects the DFT-s-OFDM MCS
+        tables in the MCS/TB-size helpers (nr/utils.py) — neither
+        implementation synthesizes the DFT-spread waveform itself."""
         self._ifndef("transform_precoding", False)
         return self._transform_precoding
 
@@ -171,9 +176,6 @@ class PUSCHConfig(Config):
     def transform_precoding(self, value):
         if not isinstance(value, bool):
             raise TypeError("transform_precoding must be bool")
-        if value:
-            raise NotImplementedError(
-                "transform_precoding is not supported")
         self._transform_precoding = value
 
     @property
