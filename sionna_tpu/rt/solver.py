@@ -800,7 +800,7 @@ class PathSolver:
     def trace_functional(self, scene, max_depth=3,
                          samples_per_src=20000,
                          max_num_paths_per_src=100000, los=True,
-                         seed=41):
+                         refraction=False, seed=41):
         """Differentiable functional view of the LoS+specular solver
         (upstream parity: Sionna RT is a differentiable ray tracer;
         SURVEY.md 2.12).
@@ -887,11 +887,21 @@ class PathSolver:
             [m.scattering_coefficient
              for m in scene.triangle_materials]
             if has_geometry else [0.], rd)
+        th0 = np.array(
+            [m.thickness for m in scene.triangle_materials]
+            if has_geometry else [0.], np.float32)
 
-        def fn(tx_pos, rx_pos, eta, scat):
+        def fn(tx_pos, rx_pos, eta, scat, thickness=None):
+            # With refraction=True the slab transmission is part of
+            # the computation, so gradients also flow through eta and
+            # thickness of BLOCKING triangles (material calibration
+            # from through-wall measurements).
+            th = jnp.asarray(th0) if thickness is None \
+                else jnp.asarray(thickness)
             outs = [self._eval_sequences(
                 scene, tri, normals, seq, jnp.asarray(tx_pos),
-                jnp.asarray(rx_pos), eta, scat, txs, rxs)
+                jnp.asarray(rx_pos), eta, scat, txs, rxs,
+                th_tri=th, refraction=refraction)
                 for seq in sequences]
             a = jnp.concatenate([o["a"] for o in outs], axis=-1)
             tau = jnp.concatenate([o["tau"] for o in outs], axis=-1)

@@ -178,3 +178,29 @@ def test_transmission_accel_matches_dense():
     np.testing.assert_allclose(t_accel, t_dense, rtol=1e-4, atol=1e-5)
     # sanity: some segments are actually attenuated
     assert (np.abs(t_dense) < 0.99).sum() > 10
+
+
+def test_trace_functional_refraction_gradients():
+    """Differentiable transmission: gradients of through-wall power
+    w.r.t. wall thickness and permittivity are finite and nonzero."""
+    f = 3e9
+    sc = _wall_scene(frequency=f)
+    sc.add(Transmitter("tx", [-5., 0., 1.]))
+    sc.add(Receiver("rx", [5., 0., 1.]))
+    solver = PathSolver()
+    fn, (txp, rxp, eta, scat) = solver.trace_functional(
+        sc, max_depth=0, samples_per_src=100, refraction=True)
+    th0 = jnp.asarray([0.1, 0.1], jnp.float32)
+
+    def power(th, eta_im):
+        e = eta.real + 1j * eta_im
+        a, tau, valid = fn(txp, rxp, e, scat, thickness=th)
+        return jnp.sum(jnp.abs(a) ** 2)
+
+    g_th = jax.grad(power)(th0, jnp.imag(eta))
+    g_ei = jax.grad(power, argnums=1)(th0, jnp.imag(eta))
+    assert np.isfinite(np.asarray(g_th)).all()
+    assert np.isfinite(np.asarray(g_ei)).all()
+    assert float(jnp.abs(g_th).max()) > 0.
+    # thicker lossy wall -> less power: d|a|^2/d(thickness) < 0
+    assert float(g_th.sum()) < 0.
