@@ -554,8 +554,9 @@ class PathSolver:
     each blocker instead of discarded), and optionally first-order
     UTD wedge diffraction (``diffraction=True``) and single-bounce
     diffuse scattering (``diffuse_reflection=True``, requires
-    materials with a nonzero ``scattering_coefficient``).  Occlusion
-    of diffracted/scattered paths stays boolean.
+    materials with a nonzero ``scattering_coefficient``).  With
+    refraction enabled, diffracted and scattered path segments are
+    attenuated through blockers the same way.
 
     Call: solver(scene, max_depth=3, max_num_paths_per_src=100000,
     samples_per_src=20000, los=True, specular_reflection=True,
@@ -725,7 +726,9 @@ class PathSolver:
                     (base_key, "diffr", num_w),
                     lambda tp, rp:
                     self._eval_diffraction(scene, tri, wedges, tp,
-                                           rp, eta_j, txs, rxs),
+                                           rp, eta_j, txs, rxs,
+                                           th_tri=th_j,
+                                           refraction=refraction),
                     tx_j, rx_j)
                 out["interactions"] = \
                     wedges["tri_0"][:, None].astype(np.int64)
@@ -748,7 +751,8 @@ class PathSolver:
                     self._eval_scattering(
                         scene, tri, normals, tp, rp, eta_j,
                         jnp.asarray(p_np), tri_idx, d_area,
-                        diffuse_samples, seed, txs, rxs),
+                        diffuse_samples, seed, txs, rxs,
+                        th_tri=th_j, refraction=refraction),
                     tx_j, rx_j)
                 out["interactions"] = \
                     tri_idx[:, None].astype(np.int64)
@@ -1226,7 +1230,8 @@ class PathSolver:
 
     # ------------------------------------------------------------------
     def _eval_diffraction(self, scene, tri, wedges, tx_pos, rx_pos,
-                          eta_tri, txs, rxs):
+                          eta_tri, txs, rxs, th_tri=None,
+                          refraction=False):
         """Evaluates first-order UTD diffraction off every wedge for
         all TX/RX pairs as one [W, tx, rx] batch.
 
@@ -1342,7 +1347,8 @@ class PathSolver:
                * _phase_exp(total_len, lam))
 
         # occlusion of both segments (the wedge faces are excluded:
-        # Q lies exactly on them)
+        # Q lies exactly on them); with refraction, blockers
+        # attenuate via the slab coefficient instead
         excl = np.stack([wedges["tri_0"], wedges["tri_n"]], axis=1)
         excl_b = jnp.asarray(np.broadcast_to(
             excl[:, None, None], (num_w, num_tx, num_rx, 2)
@@ -1350,13 +1356,23 @@ class PathSolver:
         o1 = jnp.broadcast_to(tx_pos[None, :, None],
                               q.shape).reshape(-1, 3)
         accel = getattr(self, "_accel", None)
-        blocked1 = any_blocking_hit(o1, s_i_vec.reshape(-1, 3), tri,
-                                    excl_ids=excl_b, accel=accel)
-        blocked2 = any_blocking_hit(q.reshape(-1, 3),
-                                    s_d_vec.reshape(-1, 3), tri,
-                                    excl_ids=excl_b, accel=accel)
-        valid &= ~(blocked1 | blocked2).reshape(
-            num_w, num_tx, num_rx)
+        if refraction:
+            t1 = transmission_product(
+                o1, s_i_vec.reshape(-1, 3), tri, eta_tri, th_tri,
+                lam, excl_ids=excl_b, accel=accel)
+            t2 = transmission_product(
+                q.reshape(-1, 3), s_d_vec.reshape(-1, 3), tri,
+                eta_tri, th_tri, lam, excl_ids=excl_b, accel=accel)
+            amp = amp * (t1 * t2).reshape(num_w, num_tx, num_rx)
+        else:
+            blocked1 = any_blocking_hit(
+                o1, s_i_vec.reshape(-1, 3), tri,
+                excl_ids=excl_b, accel=accel)
+            blocked2 = any_blocking_hit(
+                q.reshape(-1, 3), s_d_vec.reshape(-1, 3), tri,
+                excl_ids=excl_b, accel=accel)
+            valid &= ~(blocked1 | blocked2).reshape(
+                num_w, num_tx, num_rx)
 
         tau = total_len / SPEED_OF_LIGHT
         return self._combine(scene, txs, rxs, shat_i, u_r, jones,
@@ -1392,7 +1408,8 @@ class PathSolver:
 
     def _eval_scattering(self, scene, tri, normals, tx_pos, rx_pos,
                          eta_tri, p, tri_idx, d_area, num_samples,
-                         seed, txs, rxs):
+                         seed, txs, rxs, th_tri=None,
+                         refraction=False):
         """Single-bounce diffuse scattering via area-weighted Monte
         Carlo over the scene surface (effective-roughness model with a
         Lambertian re-radiation pattern).
@@ -1470,17 +1487,27 @@ class PathSolver:
             -s1_vec[:, :, None],
             (num_samples, num_tx, num_rx, 3)).reshape(-1, 3)
         accel = getattr(self, "_accel", None)
-        blocked1 = any_blocking_hit(o1, -d1, tri, excl_ids=excl_b,
-                                    accel=accel)
         o2 = jnp.broadcast_to(
             p[:, None, None],
             (num_samples, num_tx, num_rx, 3)).reshape(-1, 3)
         d2 = jnp.broadcast_to(
             s2_vec, (num_samples, num_tx, num_rx, 3)).reshape(-1, 3)
-        blocked2 = any_blocking_hit(o2, d2, tri, excl_ids=excl_b,
-                                    accel=accel)
-        valid &= ~(blocked1 | blocked2).reshape(
-            num_samples, num_tx, num_rx)
+        if refraction:
+            t1 = transmission_product(
+                o1, -d1, tri, eta_tri, th_tri, lam,
+                excl_ids=excl_b, accel=accel)
+            t2 = transmission_product(
+                o2, d2, tri, eta_tri, th_tri, lam,
+                excl_ids=excl_b, accel=accel)
+            amp = amp * (t1 * t2).reshape(
+                num_samples, num_tx, num_rx)
+        else:
+            blocked1 = any_blocking_hit(o1, -d1, tri,
+                                        excl_ids=excl_b, accel=accel)
+            blocked2 = any_blocking_hit(o2, d2, tri,
+                                        excl_ids=excl_b, accel=accel)
+            valid &= ~(blocked1 | blocked2).reshape(
+                num_samples, num_tx, num_rx)
 
         d0_hat = jnp.broadcast_to(
             shat1[:, :, None], (num_samples, num_tx, num_rx, 3))
