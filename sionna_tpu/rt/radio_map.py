@@ -162,15 +162,26 @@ class RadioMapSolver:
             [xg, yg, np.full_like(xg, height)], axis=-1)
 
         # Evaluate with a throwaway scene configuration: isotropic
-        # single-antenna receivers at every cell
+        # single-antenna receivers at every cell.  The receiver grid
+        # is cached per (nx, ny, geometry) so repeated solves of the
+        # same map skip ~0.5 s of per-cell object churn on the host.
         saved_rx = dict(scene.receivers)
         saved_rx_array = scene.rx_array
         saved_tx_array = scene.tx_array
         try:
             scene.receivers.clear()
             flat = cells.reshape(-1, 3)
-            for i, p in enumerate(flat):
-                scene.add(Receiver(f"__cell_{i}", p))
+            cache_key = (flat.shape[0],
+                         float(flat[0, 0]), float(flat[0, 1]),
+                         float(flat[-1, 0]), float(flat[-1, 1]),
+                         float(height))
+            cell_rx = getattr(self, "_cell_rx_cache", {}).get(
+                cache_key)
+            if cell_rx is None:
+                cell_rx = {f"__cell_{i}": Receiver(f"__cell_{i}", p)
+                           for i, p in enumerate(flat)}
+                self._cell_rx_cache = {cache_key: cell_rx}
+            scene.receivers.update(cell_rx)
             scene.rx_array = PlanarArray(1, 1, pattern="iso",
                                          polarization="V")
             if scene.tx_array is None:
