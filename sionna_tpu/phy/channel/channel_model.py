@@ -11,7 +11,7 @@ Models additionally accept an optional ``key`` argument for functional
 PRNG threading (JAX-native extension).
 """
 
-from abc import ABC, abstractmethod
+from abc import abstractmethod
 
 from ..block import Object
 

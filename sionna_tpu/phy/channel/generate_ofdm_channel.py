@@ -1,7 +1,6 @@
 """Generate frequency-domain channels from a ChannelModel (reference:
 src/sionna/phy/channel/generate_ofdm_channel.py:9)."""
 
-import jax.numpy as jnp
 
 from ..block import Block
 from .utils import subcarrier_frequencies, cir_to_ofdm_channel

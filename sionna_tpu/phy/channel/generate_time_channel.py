@@ -1,7 +1,6 @@
 """Generate discrete-time channels from a ChannelModel (reference:
 src/sionna/phy/channel/generate_time_channel.py:9)."""
 
-import jax.numpy as jnp
 
 from ..block import Block
 from .utils import cir_to_time_channel

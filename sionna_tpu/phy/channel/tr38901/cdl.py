@@ -12,8 +12,6 @@ import jax.numpy as jnp
 from ...config import config
 from ...constants import PI
 from ..channel_model import ChannelModel
-from ..utils import deg_2_rad
-from .antenna import PanelArray
 from .rays import Rays
 from .channel_coefficients import Topology, ChannelCoefficientsGenerator
 

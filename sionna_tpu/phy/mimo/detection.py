@@ -20,13 +20,13 @@ import jax.numpy as jnp
 from ..block import Block
 from ..mapping import (Constellation, SymbolLogits2LLRs,
                        LLRs2SymbolLogits, SymbolLogits2Moments,
-                       SymbolInds2Bits, PAM2QAM, pam, qam)
+                       PAM2QAM, pam, qam)
 from ..utils.tensors import expand_to_rank
 from ..utils.linalg import batched_cholesky, cholesky_solve
 from .equalization import lmmse_equalizer, zf_equalizer, mf_equalizer
 from .utils import (whiten_channel, complex2real_channel,
                     complex2real_matrix, complex2real_vector,
-                    real2complex_vector, List2LLRSimple)
+                    List2LLRSimple)
 
 __all__ = ["LinearDetector", "MaximumLikelihoodDetector",
            "KBestDetector", "EPDetector", "MMSEPICDetector"]

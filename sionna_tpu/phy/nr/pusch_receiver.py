@@ -9,7 +9,6 @@ from ..block import Block
 from ..mimo import StreamManagement
 from ..ofdm import OFDMDemodulator, LinearDetector
 from ..channel import time_to_ofdm_channel
-from ..utils.tensors import insert_dims
 from .pusch_channel_estimation import PUSCHLSChannelEstimator
 from .tb_decoder import TBDecoder
 from .layer_mapping import LayerDemapper

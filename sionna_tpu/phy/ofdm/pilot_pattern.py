@@ -3,7 +3,6 @@
 
 import numpy as np
 
-import jax.numpy as jnp
 
 from ..block import Object
 

@@ -10,7 +10,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..block import Block
-from .utils import convolve, fft, empirical_aclr
+from .utils import convolve
 from .window import Window, HannWindow, HammingWindow, BlackmanWindow
 
 __all__ = ["Filter", "RaisedCosineFilter", "RootRaisedCosineFilter",

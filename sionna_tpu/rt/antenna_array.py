@@ -11,7 +11,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..phy.constants import PI, SPEED_OF_LIGHT
+from ..phy.constants import PI
 
 __all__ = ["PlanarArray", "antenna_pattern"]
 

@@ -6,7 +6,6 @@ dependent model: relative permittivity eps_r = a * f_GHz^b and
 conductivity sigma = c * f_GHz^d [S/m].
 """
 
-import numpy as np
 
 __all__ = ["RadioMaterial", "ITU_MATERIALS"]
 

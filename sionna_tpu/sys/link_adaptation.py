@@ -14,9 +14,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..phy.block import Block
-from ..phy.utils.misc import (scalar_to_shaped_tensor, lin_to_db,
+from ..phy.utils.misc import (scalar_to_shaped_tensor,
                               db_to_lin)
-from ..phy.utils.tensors import (find_true_position, insert_dims,
+from ..phy.utils.tensors import (find_true_position,
                                  tensor_values_are_in_set)
 from .utils import is_scheduled_in_slot
 

@@ -6,7 +6,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..phy.block import Block
-from ..phy.utils.tensors import insert_dims
 
 __all__ = ["PFSchedulerSUMIMO"]
 
