@@ -15,7 +15,7 @@ from ..config import config
 __all__ = ["GaussianPriorSource", "llr2mi", "j_fun", "j_fun_inv",
            "plot_trajectory", "plot_exit_chart", "get_exit_analytic",
            "load_parity_check_examples", "bin2int", "int2bin",
-           "bin2int_jnp", "int2bin_jnp",
+           "bin2int_jnp", "int2bin_jnp", "bin2int_tf", "int2bin_tf",
            "alist2mat", "load_alist", "make_systematic", "gm2pcm",
            "pcm2gm", "verify_gm_pcm", "generate_reg_ldpc", "int_mod_2"]
 
@@ -201,8 +201,16 @@ def int2bin_jnp(ints, length):
 
 # Migration aliases carrying the reference's TF-era names so imports
 # port over unchanged (reference fec/utils.py:552,616)
-bin2int_tf = bin2int_jnp
-int2bin_tf = int2bin_jnp
+def bin2int_tf(arr, axis=-1):
+    """Alias of :func:`bin2int_jnp` under the reference's TF-era
+    name (reference fec/utils.py:552)."""
+    return bin2int_jnp(arr, axis)
+
+
+def int2bin_tf(ints, length):
+    """Alias of :func:`int2bin_jnp` under the reference's TF-era
+    name (reference fec/utils.py:616)."""
+    return int2bin_jnp(ints, length)
 
 
 def load_alist(path):

@@ -10,6 +10,9 @@ from .scene import (Scene, Transmitter, Receiver, Camera, load_scene,
 from .diffraction import extract_wedges
 from .antenna_array import PlanarArray, antenna_pattern
 from .radio_materials import RadioMaterial, ITU_MATERIALS
+from .scattering_pattern import (ScatteringPattern, LambertianPattern,
+                                 DirectivePattern,
+                                 BackscatteringPattern)
 from .solver import PathSolver, Paths
 from .radio_map import RadioMapSolver, RadioMap
 from .render import render

@@ -35,12 +35,18 @@ class RadioMaterial:
     Either pass a known ITU name, or explicit
     ``relative_permittivity`` / ``conductivity`` (then frequency
     independent).  ``scattering_coefficient`` in [0, 1] diverts a
-    fraction s^2 of the reflected energy to diffuse scattering.
+    fraction s^2 of the reflected energy to diffuse scattering;
+    ``scattering_pattern`` selects its re-radiation lobe
+    (default ``LambertianPattern``; see ``rt/scattering_pattern.py``).
     """
 
     def __init__(self, name, relative_permittivity=None,
                  conductivity=None, scattering_coefficient=0.0,
-                 thickness=0.1):
+                 thickness=0.1, scattering_pattern=None):
+        if scattering_pattern is None:
+            from .scattering_pattern import LambertianPattern
+            scattering_pattern = LambertianPattern()
+        self.scattering_pattern = scattering_pattern
         self._name = name
         self._coeffs = _ITU_COEFFS.get(name)
         if self._coeffs is None and (relative_permittivity is None

@@ -669,6 +669,11 @@ class PathSolver:
         fp.update(eta_tri.tobytes())
         fp.update(scat_tri.tobytes())
         fp.update(th_tri.tobytes())
+        if has_geometry:
+            for m in scene.triangle_materials:
+                pat = getattr(m, "scattering_pattern", None)
+                if pat is not None:
+                    fp.update(repr(pat.canonical()).encode())
         fp.update(b"refr1" if refraction else b"refr0")
         for dev in txs + rxs:
             fp.update(dev.orientation.tobytes())
@@ -1456,10 +1461,64 @@ class PathSolver:
         gamma2 = 0.5 * (jnp.abs(r_s) ** 2
                         + jnp.abs(r_p) ** 2)            # [N,T]
 
-        f_lamb = cos_s / PI
+        # Re-radiation pattern f(k_i, k_s): per-material lobes
+        # (Lambertian / directive / backscattering), batched over the
+        # mixed-material sample set via host-gathered coefficient
+        # tables (see rt/scattering_pattern.py).
+        from .scattering_pattern import (LambertianPattern,
+                                         pack_patterns)
+        default_pat = LambertianPattern()
+        mats = scene.triangle_materials
+        pats = [getattr(m, "scattering_pattern", None) or default_pat
+                for m in mats]
+        uniq = {}
+        pat_of_tri = np.empty(len(pats), np.int32)
+        uniq_pats = []
+        for j, pat in enumerate(pats):
+            can = pat.canonical()
+            if can not in uniq:
+                uniq[can] = len(uniq_pats)
+                uniq_pats.append(pat)
+            pat_of_tri[j] = uniq[can]
+        packed = pack_patterns(uniq_pats)
+        sel = pat_of_tri[tri_idx]                       # [N] host
+        if bool(packed["is_lamb"].all()):
+            f_pat = cos_s / PI
+        else:
+            lam_w = packed["lambda_"][sel]              # [N]
+            a_r = packed["a_r"][sel]
+            a_i = packed["a_i"][sel]
+            br = packed["Br"][sel]                      # [N, W]
+            bi = packed["Bi"][sel]
+            is_lamb = packed["is_lamb"][sel]
+            sin2_i = 1. - cos_f ** 2                    # [N,T]
+            n_w = br.shape[-1]
+            powers = jnp.stack(
+                [sin2_i ** w for w in range(n_w)], -1)  # [N,T,W]
+            norm_r = (packed["Ar"][sel][:, None] + cos_f
+                      * jnp.einsum("nw,ntw->nt",
+                                   jnp.asarray(br), powers))
+            norm_i = (packed["Ai"][sel][:, None] + cos_f
+                      * jnp.einsum("nw,ntw->nt",
+                                   jnp.asarray(bi), powers))
+            dot_in = jnp.sum(shat1 * n_or, -1,
+                             keepdims=True)             # [N,T,1]
+            k_r = shat1 - 2. * dot_in * n_or            # [N,T,3]
+            cos_pr = jnp.clip(
+                jnp.sum(k_r[:, :, None] * shat2, -1), -1., 1.)
+            cos_pi = jnp.clip(
+                -jnp.sum(shat1[:, :, None] * shat2, -1), -1., 1.)
+            f_dir = (lam_w[:, None, None]
+                     * ((1. + cos_pr) / 2.) ** a_r[:, None, None]
+                     / jnp.maximum(norm_r[:, :, None], 1e-12)
+                     + (1. - lam_w)[:, None, None]
+                     * ((1. + cos_pi) / 2.) ** a_i[:, None, None]
+                     / jnp.maximum(norm_i[:, :, None], 1e-12))
+            f_pat = jnp.where(jnp.asarray(is_lamb)[:, None, None],
+                              cos_s / PI, f_dir)
         a2 = ((lam / (4. * PI)) ** 2
               * cos_i[:, :, None] * d_area
-              * (s_coef[:, None] ** 2 * gamma2)[:, :, None] * f_lamb
+              * (s_coef[:, None] ** 2 * gamma2)[:, :, None] * f_pat
               / jnp.maximum((s1[:, :, None] * s2) ** 2, 1e-12))
         total_len = s1[:, :, None] + s2                 # [N,T,R]
         # factor 2: E|Fr^T J Ft|^2 = 1/2 |Fr|^2 |Ft|^2 for the random
