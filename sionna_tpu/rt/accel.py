@@ -545,7 +545,9 @@ def transmission_product_accel(orig, dirs, accel, eta_tri, th_tri,
         t_te, t_tm = _slab_transmission(
             cos_i.astype(jnp.float32), eta_j[safe], th_j[safe], lam)
         t_eff = 0.5 * (t_te + t_tm)
-        return jnp.where(b, t_eff, 1. + 0j)
+        # typed complex64 one: a bare `1.+0j` literal becomes a c128
+        # constant under x64, which the TPU compiler cannot lower
+        return jnp.where(b, t_eff, jnp.asarray(1. + 0j, jnp.complex64))
 
     def dense_product(o, d, dh, excl, tri_chunk_clusters=128):
         n_c = accel.num_clusters

@@ -303,7 +303,11 @@ def transmission_product(orig, dirs, tri, eta_tri, th_tri, lam,
         t_te, t_tm = _slab_transmission(
             cos_i.astype(jnp.float32), eta_k[None], th_k[None], lam)
         t_eff = 0.5 * (t_te + t_tm)
-        t_eff = jnp.where(b, t_eff, 1. + 0j)
+        # typed complex64 one: a bare `1.+0j` literal becomes a c128
+        # constant under x64, and the TPU compiler cannot lower the
+        # resulting c128->f32/c64 converts (Mosaic CHECK failure)
+        one_c = jnp.asarray(1. + 0j, jnp.complex64)
+        t_eff = jnp.where(b, t_eff, one_c)
         return prod * jnp.prod(t_eff, axis=-1), None
 
     init = jnp.ones((num_rays,), jnp.complex64)
