@@ -1420,12 +1420,14 @@ class PathSolver:
                          seed, txs, rxs, th_tri=None,
                          refraction=False):
         """Single-bounce diffuse scattering via area-weighted Monte
-        Carlo over the scene surface (effective-roughness model with a
-        Lambertian re-radiation pattern).
+        Carlo over the scene surface (effective-roughness model with
+        per-material configurable re-radiation lobes: Lambertian,
+        directive, or backscattering — see rt/scattering_pattern.py).
 
         Each sample point p contributes mean received power
         (lam/4pi)^2 * cos(theta_i) * dA * S^2 * Gamma^2
-        * cos(theta_s) / (pi r1^2 r2^2) with dA = total_area / N —
+        * f(k_i, k_s) / (r1^2 r2^2) with dA = total_area / N (for the
+        Lambertian lobe f = cos(theta_s)/pi) —
         energy-consistent with the sqrt(1-S^2) reduction the specular
         evaluator applies to reflected fields.  Scattered paths are
         depolarized with uniform random phases (power-calibrated in
@@ -1486,8 +1488,12 @@ class PathSolver:
             pat_of_tri[j] = uniq[can]
         packed = pack_patterns(uniq_pats)
         sel = pat_of_tri[tri_idx]                       # [N] host
+        # cos_s < 0 (RX behind the surface) is invalidated by `valid`;
+        # clip here so a2 stays >= 0 and sqrt(2*a2) cannot produce a
+        # NaN that would survive the multiplicative valid mask.
+        cos_s_pos = jnp.clip(cos_s, 0., 1.)
         if bool(packed["is_lamb"].all()):
-            f_pat = cos_s / PI
+            f_pat = cos_s_pos / PI
         else:
             lam_w = packed["lambda_"][sel]              # [N]
             a_r = packed["a_r"][sel]
@@ -1519,11 +1525,12 @@ class PathSolver:
                      * ((1. + cos_pi) / 2.) ** a_i[:, None, None]
                      / jnp.maximum(norm_i[:, :, None], 1e-12))
             f_pat = jnp.where(jnp.asarray(is_lamb)[:, None, None],
-                              cos_s / PI, f_dir)
+                              cos_s_pos / PI, f_dir)
         a2 = ((lam / (4. * PI)) ** 2
               * cos_i[:, :, None] * d_area
               * (s_coef[:, None] ** 2 * gamma2)[:, :, None] * f_pat
               / jnp.maximum((s1[:, :, None] * s2) ** 2, 1e-12))
+        a2 = jnp.where(valid, a2, 0.)
         total_len = s1[:, :, None] + s2                 # [N,T,R]
         # factor 2: E|Fr^T J Ft|^2 = 1/2 |Fr|^2 |Ft|^2 for the random
         # depolarizing Jones matrix below

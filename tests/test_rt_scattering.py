@@ -169,3 +169,42 @@ def test_mixed_materials_batch():
     a = np.asarray(paths.cir(out_type="numpy")[0])
     assert np.isfinite(a).all()
     assert float(np.sum(np.abs(a) ** 2)) > 0.
+
+
+def test_rx_behind_surface_no_nan():
+    """RX on the back side of the scattering plate: cos(theta_s) < 0
+    for every sample, so the paths are invalid — the CIR must be
+    all-zero, never NaN (regression: negative a2 under the Lambertian
+    fast path fed sqrt, and NaN*0 survived the valid mask)."""
+    freq = 3.5e9
+    sc = _plate_scene(freq)
+    for m in sc.radio_materials.values():
+        m.scattering_coefficient = 1.0
+    sc.add(Transmitter("tx", [-5., 0., 10.]))
+    sc.add(Receiver("rx", [0., 0., -8.]))
+    paths = PathSolver()(sc, max_depth=0, los=False,
+                         specular_reflection=False,
+                         diffuse_reflection=True,
+                         diffuse_samples=2000, seed=7)
+    a = np.asarray(paths.cir(out_type="numpy")[0])
+    assert np.isfinite(a).all()
+    assert float(np.sum(np.abs(a) ** 2)) == 0.
+
+
+def test_rx_behind_surface_no_nan_directive():
+    """Same back-side regression through the mixed-material directive
+    branch (cos_s clipping in the is_lamb where)."""
+    freq = 3.5e9
+    sc = _plate_scene(freq, mats=("itu_metal", "itu_concrete"))
+    for m in sc.radio_materials.values():
+        m.scattering_coefficient = 1.0
+    sc.get("itu_concrete").scattering_pattern = DirectivePattern(4)
+    sc.add(Transmitter("tx", [-5., 0., 10.]))
+    sc.add(Receiver("rx", [0., 0., -8.]))
+    paths = PathSolver()(sc, max_depth=0, los=False,
+                         specular_reflection=False,
+                         diffuse_reflection=True,
+                         diffuse_samples=2000, seed=7)
+    a = np.asarray(paths.cir(out_type="numpy")[0])
+    assert np.isfinite(a).all()
+    assert float(np.sum(np.abs(a) ** 2)) == 0.
