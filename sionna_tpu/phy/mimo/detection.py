@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..block import Block
-from ..mapping import (Constellation, SymbolLogits2LLRs,
+from ..mapping import (Constellation, Demapper, SymbolLogits2LLRs,
                        LLRs2SymbolLogits, SymbolLogits2Moments,
                        PAM2QAM, pam, qam)
 from ..utils.tensors import expand_to_rank
@@ -135,8 +135,10 @@ class MaximumLikelihoodDetector(Block):
         if prior is not None:
             prior = jnp.asarray(prior, self.rdtype)
             if self._output == "bit":
-                # prior: [..., K, nbps] LLRs -> log Pr(x)
-                prior_e = expand_to_rank(prior, exponents.ndim + 2,
+                # prior: [..., K, nbps] LLRs -> log Pr(x).
+                # exponents is [..., L] (batch rank + 1) so the fully
+                # batched prior has rank exponents.ndim + 1
+                prior_e = expand_to_rank(prior, exponents.ndim + 1,
                                          axis=0)
                 pm1 = 2 * jnp.asarray(self._vecs_bits) - 1  # [L,K,nbps]
                 lp = jax.nn.log_sigmoid(prior_e[..., None, :, :] * pm1)
@@ -144,7 +146,7 @@ class MaximumLikelihoodDetector(Block):
             else:
                 # prior: [..., K, num_points] logits
                 logp = jax.nn.log_softmax(prior, axis=-1)
-                logp_e = expand_to_rank(logp, exponents.ndim + 2, axis=0)
+                logp_e = expand_to_rank(logp, exponents.ndim + 1, axis=0)
                 sel = jnp.take_along_axis(
                     jnp.broadcast_to(
                         logp_e[..., None, :, :],
@@ -426,6 +428,10 @@ class EPDetector(Block):
         lam0 = jnp.ones(y.shape[:-1] + (k2,), self.rdtype) / es
         gam0 = jnp.zeros(y.shape[:-1] + (k2,), self.rdtype)
 
+        # numerical-stability floor (reference: paragraph after
+        # Eq. (38) of EP2014 — 1e-6 single / 1e-12 double)
+        prec = 1e-12 if self.rdtype == jnp.float64 else 1e-6
+
         def moments(mean_cav, var_cav):
             # discrete posterior over PAM points
             logits = -(mean_cav[..., None] - points) ** 2 \
@@ -434,7 +440,7 @@ class EPDetector(Block):
             mu = jnp.sum(p_post * points, axis=-1)
             var = jnp.sum(p_post * (points - mu[..., None]) ** 2,
                           axis=-1)
-            var = jnp.maximum(var, 5e-7)
+            var = jnp.maximum(var, prec)
             return mu, var, logits
 
         def body(i, state):
@@ -446,18 +452,22 @@ class EPDetector(Block):
             ainv = cholesky_solve(chol, eye)
             sig_diag = jnp.diagonal(ainv, axis1=-2, axis2=-1)
             mu = jnp.matmul(ainv, (hty + gam)[..., None])[..., 0]
-            # cavity
-            var_cav = 1 / jnp.maximum(1 / sig_diag - lam, 5e-7)
+            # cavity: clamp the RESULT (reference Eq. (31)), not the
+            # denominator — a negative 1/sigma - lam must floor to
+            # `prec`, not blow up to 1/eps
+            var_cav = jnp.maximum(1 / (1 / sig_diag - lam), prec)
             mean_cav = var_cav * (mu / sig_diag - gam)
             mu_p, var_p, logits = moments(mean_cav, var_cav)
             lam_new = 1 / var_p - 1 / var_cav
             gam_new = mu_p / var_p - mean_cav / var_cav
-            # keep only positive lambda updates; damp
-            valid = lam_new > 0
+            # reject only NEGATIVE lambda updates (reference Eq. 35-36)
+            valid = lam_new >= 0
             lam_new = jnp.where(valid, lam_new, lam)
             gam_new = jnp.where(valid, gam_new, gam)
-            lam = self._beta * lam_new + (1 - self._beta) * lam
-            gam = self._beta * gam_new + (1 - self._beta) * gam
+            # damping (reference Eq. (37)-(38)): beta weights the OLD
+            # value
+            lam = (1 - self._beta) * lam_new + self._beta * lam
+            gam = (1 - self._beta) * gam_new + self._beta * gam
             return lam, gam, logits
 
         logits0 = jnp.zeros(y.shape[:-1]
@@ -508,9 +518,19 @@ class MMSEPICDetector(Block):
         self._logits2moments = SymbolLogits2Moments(
             constellation=self._constellation, precision=precision)
         self._logits2llrs = SymbolLogits2LLRs(
-            demapping_method, nbps, hard_out=False, precision=precision)
+            "maxlog", nbps, hard_out=False, precision=precision)
+        self._llrs2logits_out = LLRs2SymbolLogits(
+            nbps, hard_out=hard_out, precision=precision)
+        self._bit_demapper = Demapper(
+            demapping_method, constellation=self._constellation,
+            precision=precision)
+        self._epsilon = 1e-4  # reference detection.py:1462
 
     def call(self, y, h, s, prior=None):
+        # LLR-domain self-iteration matching the reference
+        # (detection.py:1497): each round demaps WITH the previous
+        # round's LLRs as prior, and the final output is the
+        # EXTRINSIC llr_d - llr_a.
         y = jnp.asarray(y, self.cdtype)
         h = jnp.asarray(h, self.cdtype)
         s = jnp.asarray(s, self.cdtype)
@@ -528,12 +548,13 @@ class MMSEPICDetector(Block):
         else:
             prior = jnp.asarray(prior, self.rdtype)
 
-        if self._output == "bit":
-            logits = self._llrs2logits(prior)
+        if self._output == "symbol":
+            llr_d = self._logits2llrs(prior)
         else:
-            logits = prior
+            llr_d = prior
 
-        def one_iter(logits):
+        def one_iter(llr_a):
+            logits = self._llrs2logits(llr_a)
             x_hat, var_x = self._logits2moments(logits)
             # residual after cancelling all soft estimates
             y_res = y - jnp.matmul(h, x_hat.astype(
@@ -554,24 +575,23 @@ class MMSEPICDetector(Block):
             z = jnp.sum(jnp.conjugate(ainv_h)
                         * y_res[..., None], axis=-2)
             z = z + mu.astype(self.cdtype) * x_hat
-            # unbiased scaling
-            mu_safe = jnp.maximum(mu, 1e-12)
-            x_eq = z / mu_safe.astype(self.cdtype)
-            no_eff = jnp.maximum((1 - var_x * mu_safe) / mu_safe, 1e-12)
-            # demap to extrinsic logits
-            sq_dist = jnp.abs(x_eq[..., None] - points) ** 2
-            new_logits = -sq_dist / no_eff[..., None]
-            return new_logits
+            # unbiased scaling (reference: rho = mu/(1 - var mu),
+            # no_eff = 1/rho, both with an epsilon floor)
+            x_eq = z / mu.astype(self.cdtype)
+            no_eff = jnp.maximum(1. - var_x * mu,
+                                 self._epsilon) / mu
+            # demap WITH the prior (APP including llr_a)
+            llr = self._bit_demapper(x_eq, no_eff, llr_a)
+            return llr.reshape(llr_a.shape)
 
-        logits_out = logits
+        llr_a = jnp.zeros_like(llr_d)
         for _ in range(self._num_iter):
-            logits_out = one_iter(logits_out)
+            llr_a = llr_d
+            llr_d = one_iter(llr_a)
 
+        llr_e = llr_d - llr_a
         if self._output == "symbol":
-            if self._hard_out:
-                return jnp.argmax(logits_out, axis=-1).astype(jnp.int32)
-            return jax.nn.log_softmax(logits_out, axis=-1)
-        llr = self._logits2llrs(logits_out)
+            return self._llrs2logits_out(llr_e)
         if self._hard_out:
-            return (llr > 0).astype(self.rdtype)
-        return llr
+            return (llr_e > 0).astype(self.rdtype)
+        return llr_e
