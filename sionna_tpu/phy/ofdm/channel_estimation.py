@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..block import Block, Object
+from ..constants import SPEED_OF_LIGHT
 from ..utils.tensors import expand_to_rank, flatten_last_dims
 from .resource_grid import ResourceGrid, RemoveNulledSubcarriers
 
@@ -172,10 +173,19 @@ class LinearInterpolator(BaseChannelInterpolator):
             js, sel = js[order], sel[order]
             op = np.zeros((num_eff, p_total))
             for j in range(num_eff):
-                if j <= js[0]:
+                if len(js) == 1:
                     op[j, sel[0]] = 1
+                elif j <= js[0]:
+                    # linear EXTRAPOLATION from the first two pilots
+                    # (reference channel_estimation.py:566-579 keeps
+                    # (x0, x1) = first pair below the span)
+                    wgt = (j - js[0]) / (js[1] - js[0])
+                    op[j, sel[0]] = 1 - wgt
+                    op[j, sel[1]] = wgt
                 elif j >= js[-1]:
-                    op[j, sel[-1]] = 1
+                    wgt = (j - js[-2]) / (js[-1] - js[-2])
+                    op[j, sel[-2]] = 1 - wgt
+                    op[j, sel[-1]] = wgt
                 else:
                     r = int(np.searchsorted(js, j))
                     l = r - 1 if js[min(r, len(js) - 1)] != j else r
@@ -194,10 +204,18 @@ class LinearInterpolator(BaseChannelInterpolator):
         else:
             ps = np.asarray(sorted(pilot_syms))
             for t in range(num_sym):
-                if t <= ps[0]:
+                if len(ps) == 1:
                     w[t] = freq_ops[ps[0]]
+                elif t <= ps[0]:
+                    # linear extrapolation before the first pilot
+                    # symbol (reference channel_estimation.py:620-629)
+                    wgt = (t - ps[0]) / (ps[1] - ps[0])
+                    w[t] = (1 - wgt) * freq_ops[ps[0]] \
+                        + wgt * freq_ops[ps[1]]
                 elif t >= ps[-1]:
-                    w[t] = freq_ops[ps[-1]]
+                    wgt = (t - ps[-2]) / (ps[-1] - ps[-2])
+                    w[t] = (1 - wgt) * freq_ops[ps[-2]] \
+                        + wgt * freq_ops[ps[-1]]
                 else:
                     r = int(np.searchsorted(ps, t))
                     if ps[r] == t:
@@ -349,33 +367,75 @@ class LMMSEInterpolator(BaseChannelInterpolator):
         return h, e
 
 
-def tdl_freq_cov_mat(bandwidth, num_subcarriers, delay_spread,
-                     delays=None, powers=None):
-    """Frequency covariance matrix of a TDL channel: R[f1,f2] =
-    sum_p P_p exp(-j2 pi (f1-f2) df tau_p)
-    (reference channel_estimation.py:1856). Host-side NumPy."""
-    if delays is None:
-        # exponential PDP approximation
-        delays = np.linspace(0, 10 * delay_spread, 100)
-        powers = np.exp(-delays / delay_spread)
-        powers /= powers.sum()
-    df = bandwidth / num_subcarriers
-    f = np.arange(num_subcarriers)
-    diff = f[:, None] - f[None, :]
-    r = np.sum(powers[None, None, :]
-               * np.exp(-2j * np.pi * diff[..., None] * df
-                        * delays[None, None, :]), axis=-1)
-    return r
+def _load_tdl_pdp(model):
+    """Loads the (delays, linear mean powers, los flag) of a TDL
+    model from the packaged 38.901 JSON tables."""
+    import json
+    import os
+    if model not in ("A", "B", "C", "D", "E"):
+        raise ValueError("Invalid TDL model")
+    fname = os.path.join(os.path.dirname(__file__), "..", "channel",
+                         "tr38901", "models", f"TDL-{model}.json")
+    with open(fname) as f:
+        params = json.load(f)
+    los = bool(params["los"])
+    delays = np.array(params["delays"], np.float64)
+    mean_powers = 10.0 ** (np.array(params["powers"],
+                                    np.float64) / 10.0)
+    return delays, mean_powers, los
 
 
-def tdl_time_cov_mat(num_ofdm_symbols, ofdm_symbol_duration,
-                     max_doppler):
-    """Time covariance matrix (Jakes): R[t1,t2] =
-    J0(2 pi fd (t1-t2) T) (reference channel_estimation.py:1956)."""
-    from scipy.special import j0
+def tdl_freq_cov_mat(model, subcarrier_spacing, fft_size,
+                     delay_spread, precision=None):
+    """Frequency covariance matrix of a TDL channel model:
+    R[f1,f2] = sum_p P_p exp(-j2 pi (f1-f2) scs tau_p), with the
+    power delay profile loaded from the packaged TDL-{model} table
+    (reference channel_estimation.py:1856).  Host-side NumPy;
+    returns [fft_size, fft_size] complex."""
+    delays, mean_powers, los = _load_tdl_pdp(model)
+    delays = delays * delay_spread
+    if los:
+        # merge the specular + non-specular components of the first
+        # path (both at delay 0)
+        mean_powers[0] = mean_powers[0] + mean_powers[1]
+        mean_powers = np.concatenate(
+            [mean_powers[:1], mean_powers[2:]], axis=0)
+        delays = delays[1:]
+    mean_powers = mean_powers / np.sum(mean_powers)
+    n = np.arange(fft_size)
+    p = np.exp(1j * (-2. * np.pi * subcarrier_spacing * n)[None]
+               * delays[:, None])                   # [P, F]
+    cov = np.einsum("p,pi,pj->ij", mean_powers, p, np.conj(p))
+    return cov
+
+
+def tdl_time_cov_mat(model, speed, carrier_frequency,
+                     ofdm_symbol_duration, num_ofdm_symbols,
+                     los_angle_of_arrival=np.pi / 4., precision=None):
+    """Time covariance matrix of a TDL channel model (reference
+    channel_estimation.py:1956): Jakes J0 term weighted by the NLoS
+    power plus, for LoS models, a complex exponential at the LoS
+    Doppler.  Host-side NumPy; returns
+    [num_ofdm_symbols, num_ofdm_symbols] complex."""
+    from scipy.special import jv
+    doppler_spread = 2. * np.pi * speed / SPEED_OF_LIGHT \
+        * carrier_frequency
+    _, mean_powers, los = _load_tdl_pdp(model)
+    mean_powers = mean_powers / np.sum(mean_powers)
+    if los:
+        los_power = mean_powers[0]
+        nlos_power = np.sum(mean_powers[1:])
+    else:
+        los_power = 0.
+        nlos_power = np.sum(mean_powers)
     t = np.arange(num_ofdm_symbols)
-    diff = (t[:, None] - t[None, :]) * ofdm_symbol_duration
-    return j0(2 * np.pi * max_doppler * diff)
+    exp = doppler_spread * ofdm_symbol_duration \
+        * (t[:, None] - t[None, :])
+    cov = jv(0.0, exp) * nlos_power + 0j
+    if los:
+        cov = cov + los_power * np.exp(
+            1j * exp * np.cos(los_angle_of_arrival))
+    return cov
 
 
 class BaseChannelEstimator(Block):

@@ -227,12 +227,11 @@ def _build_est_det_link(det_method, output, perfect_csi, num_tx=2,
     if not perfect_csi:
         # ordered per-dimension LMMSE incl. spatial smoothing, the
         # reference's order='t-f-s' configuration
-        freq_cov = tdl_freq_cov_mat(rg.bandwidth,
+        freq_cov = tdl_freq_cov_mat("A", rg.subcarrier_spacing,
                                     rg.num_effective_subcarriers, ds)
-        max_doppler = speed / 299792458. * fc   # [Hz]
-        time_cov = tdl_time_cov_mat(rg.num_ofdm_symbols,
+        time_cov = tdl_time_cov_mat("A", speed, fc,
                                     rg.ofdm_symbol_duration,
-                                    max_doppler)
+                                    rg.num_ofdm_symbols)
         interp = LMMSEInterpolator(rg.pilot_pattern, time_cov,
                                    freq_cov, rx_corr, order="t-f-s")
         est = LSChannelEstimator(rg, interpolator=interp)

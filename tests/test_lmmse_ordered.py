@@ -29,8 +29,8 @@ def _setup(with_zero_pilot):
     if with_zero_pilot:
         pilots[1] = 0.0
     pp = PilotPattern(mask, pilots.reshape(1, 1, -1))
-    r_f = tdl_freq_cov_mat(1e6, N_SC, 1e-7)
-    r_t = tdl_time_cov_mat(N_SYM, 1e-4, 30.0)
+    r_f = tdl_freq_cov_mat("A", 1e6 / N_SC, N_SC, 1e-7)
+    r_t = tdl_time_cov_mat("A", 2.5, 3.5e9, 1e-4, N_SYM)
     h_p = (rng.standard_normal((2, 1, 3, 1, 1, num_p))
            + 1j * rng.standard_normal((2, 1, 3, 1, 1, num_p)))
     err_p = rng.uniform(0.01, 0.1, h_p.shape)

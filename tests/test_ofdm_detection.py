@@ -95,10 +95,11 @@ def test_lmmse_detection_ls_estimation(interp):
 
 def test_lmmse_interpolator():
     rg, sm = build_link()
-    r_f = tdl_freq_cov_mat(rg.bandwidth, rg.num_effective_subcarriers,
-                           100e-9)
-    r_t = tdl_time_cov_mat(rg.num_ofdm_symbols,
-                           rg.ofdm_symbol_duration, 10.0)
+    r_f = tdl_freq_cov_mat("A", rg.subcarrier_spacing,
+                           rg.num_effective_subcarriers, 100e-9)
+    r_t = tdl_time_cov_mat("A", 1.0, 3.5e9,
+                           rg.ofdm_symbol_duration,
+                           rg.num_ofdm_symbols)
     interp = LMMSEInterpolator(rg.pilot_pattern, r_t, r_f,
                                order="f-t")
     est = LSChannelEstimator(rg, interpolator=interp)
