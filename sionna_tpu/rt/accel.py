@@ -522,7 +522,7 @@ def transmission_product_accel(orig, dirs, accel, eta_tri, th_tri,
     padding in the top-k table repeats id 0, so padded slots are
     masked by their +inf entry time (a product, unlike the boolean
     OR, is not idempotent)."""
-    from .solver import _slab_transmission
+    from .em import slab_transmission as _slab_transmission
 
     one = jnp.asarray(1., orig.dtype)
     csz = accel.cluster_size

@@ -310,3 +310,160 @@ def utd_coefficients(phi, phi_p, n, k_l, sin_b0, k_wave, eta_0, eta_n):
     d_s = pref * (t1 + t2 + r0_s * t3 + rn_s * t4)
     d_h = pref * (t1 + t2 + r0_p * t3 + rn_p * t4)
     return d_s, d_h
+
+
+# ----------------------------------------------------------------------
+# Batched first-order UTD evaluation (device stage)
+# ----------------------------------------------------------------------
+def eval_diffraction(scene, tri, wedges, tx_pos, rx_pos, eta_tri,
+                     txs, rxs, th_tri=None, refraction=False,
+                     accel=None):
+    """Evaluates first-order UTD diffraction off every wedge for
+    all TX/RX pairs as one [W, tx, rx] batch.
+
+    The diffraction point on each (straight) edge follows from the
+    generalized Fermat principle in closed form: with (t, rho) the
+    cylindrical coordinates of TX/RX about the edge line, the
+    stationary point is t_d = (t_tx rho_rx + t_rx rho_tx) /
+    (rho_tx + rho_rx), which also satisfies the Keller cone
+    condition beta_0 = beta_0'."""
+    from ..phy.constants import PI, SPEED_OF_LIGHT
+    from .em import transmission_product
+    from .field import combine_paths
+    from .geometry import any_blocking_hit, phase_exp, sph_basis
+
+    lam = scene.wavelength
+    k_wave = 2. * PI / lam
+    origin = jnp.asarray(wedges["origin"])          # [W,3]
+    e_hat = jnp.asarray(wedges["e_hat"])
+    e_len = jnp.asarray(wedges["length"])           # [W]
+    x_hat = jnp.asarray(wedges["x_hat"])
+    y_hat = jnp.asarray(wedges["y_hat"])
+    n_ang = jnp.asarray(wedges["n_angle"])          # [W]
+    # host indexing: eta_tri is a NumPy constant (complex arrays
+    # cannot be device_put on TPU; they embed as HLO literals)
+    eta0 = np.asarray(eta_tri)[wedges["tri_0"]]
+    etan = np.asarray(eta_tri)[wedges["tri_n"]]
+    num_w = origin.shape[0]
+    num_tx = tx_pos.shape[0]
+    num_rx = rx_pos.shape[0]
+
+    # cylindrical coordinates about the edge line
+    rel_t = tx_pos[None] - origin[:, None]          # [W,T,3]
+    t1 = jnp.sum(rel_t * e_hat[:, None], -1)        # [W,T]
+    perp_t = rel_t - t1[..., None] * e_hat[:, None]
+    rho1 = jnp.linalg.norm(perp_t, axis=-1)
+    rel_r = rx_pos[None] - origin[:, None]          # [W,R,3]
+    t2 = jnp.sum(rel_r * e_hat[:, None], -1)
+    perp_r = rel_r - t2[..., None] * e_hat[:, None]
+    rho2 = jnp.linalg.norm(perp_r, axis=-1)
+
+    denom = rho1[:, :, None] + rho2[:, None]
+    t_d = (t1[:, :, None] * rho2[:, None]
+           + t2[:, None] * rho1[:, :, None]) \
+        / jnp.maximum(denom, 1e-12)                 # [W,T,R]
+    valid = ((t_d > 1e-6)
+             & (t_d < e_len[:, None, None] - 1e-6)
+             & (rho1[:, :, None] > 1e-4)
+             & (rho2[:, None, :] > 1e-4))
+    q = origin[:, None, None] \
+        + t_d[..., None] * e_hat[:, None, None]     # [W,T,R,3]
+    s_i_vec = q - tx_pos[None, :, None]
+    s_i = jnp.linalg.norm(s_i_vec, axis=-1)
+    shat_i = s_i_vec / jnp.maximum(s_i[..., None], 1e-12)
+    s_d_vec = rx_pos[None, None] - q
+    s_d = jnp.linalg.norm(s_d_vec, axis=-1)
+    shat_d = s_d_vec / jnp.maximum(s_d[..., None], 1e-12)
+
+    # azimuths about the edge, measured from the 0-face through
+    # the exterior region
+    u_p = perp_t / jnp.maximum(rho1[..., None], 1e-12)
+    phi_p = jnp.arctan2(
+        jnp.sum(u_p * y_hat[:, None], -1),
+        jnp.sum(u_p * x_hat[:, None], -1)) % (2. * PI)  # [W,T]
+    u_d = perp_r / jnp.maximum(rho2[..., None], 1e-12)
+    phi = jnp.arctan2(
+        jnp.sum(u_d * y_hat[:, None], -1),
+        jnp.sum(u_d * x_hat[:, None], -1)) % (2. * PI)  # [W,R]
+    valid &= (phi_p[:, :, None] <= n_ang[:, None, None]) \
+        & (phi[:, None, :] <= n_ang[:, None, None])
+
+    cos_b = jnp.sum(e_hat[:, None, None] * shat_i, -1)
+    sin_b0 = jnp.sqrt(jnp.maximum(1. - cos_b ** 2, 1e-12))
+    valid &= sin_b0 > 1e-3
+    l_par = s_i * s_d * sin_b0 ** 2 \
+        / jnp.maximum(s_i + s_d, 1e-12)
+    n_par = (n_ang / PI)[:, None, None]
+    d_s, d_h = utd_coefficients(
+        phi[:, None, :], phi_p[:, :, None], n_par,
+        k_wave * l_par, sin_b0, k_wave,
+        eta0[:, None, None], etan[:, None, None])
+
+    # edge-fixed polarization bases (McNamara convention)
+    e_b = jnp.broadcast_to(e_hat[:, None, None], shat_i.shape)
+    cr_i = jnp.cross(e_b, shat_i)
+    phi_hat_i = -cr_i / jnp.maximum(
+        jnp.linalg.norm(cr_i, axis=-1, keepdims=True), 1e-12)
+    beta_hat_i = jnp.cross(phi_hat_i, shat_i)
+    cr_d = jnp.cross(e_b, shat_d)
+    phi_hat_d = cr_d / jnp.maximum(
+        jnp.linalg.norm(cr_d, axis=-1, keepdims=True), 1e-12)
+    beta_hat_d = jnp.cross(phi_hat_d, shat_d)
+
+    e_th_i, e_ph_i = sph_basis(shat_i)
+    rot_in = jnp.stack(
+        [jnp.stack([jnp.sum(beta_hat_i * e_th_i, -1),
+                    jnp.sum(beta_hat_i * e_ph_i, -1)], -1),
+         jnp.stack([jnp.sum(phi_hat_i * e_th_i, -1),
+                    jnp.sum(phi_hat_i * e_ph_i, -1)], -1)],
+        axis=-2).astype(jnp.complex64)
+    u_r = -shat_d
+    e_tr, e_pr = sph_basis(u_r)
+    proj = jnp.stack(
+        [jnp.stack([jnp.sum(e_tr * beta_hat_d, -1),
+                    jnp.sum(e_tr * phi_hat_d, -1)], -1),
+         jnp.stack([jnp.sum(e_pr * beta_hat_d, -1),
+                    jnp.sum(e_pr * phi_hat_d, -1)], -1)],
+        axis=-2).astype(jnp.complex64)
+    dmat = jnp.zeros(rot_in.shape, jnp.complex64)
+    dmat = dmat.at[..., 0, 0].set(-d_s.astype(jnp.complex64))
+    dmat = dmat.at[..., 1, 1].set(-d_h.astype(jnp.complex64))
+    jones = proj @ dmat @ rot_in
+
+    # spreading for a straight edge with spherical incidence
+    total_len = s_i + s_d
+    spread = jnp.sqrt(1. / jnp.maximum(
+        s_i * s_d * total_len, 1e-12))
+    amp = ((lam / (4. * PI) * spread).astype(jnp.float32)
+           * phase_exp(total_len, lam))
+
+    # occlusion of both segments (the wedge faces are excluded:
+    # Q lies exactly on them); with refraction, blockers
+    # attenuate via the slab coefficient instead
+    excl = np.stack([wedges["tri_0"], wedges["tri_n"]], axis=1)
+    excl_b = jnp.asarray(np.broadcast_to(
+        excl[:, None, None], (num_w, num_tx, num_rx, 2)
+    ).reshape(-1, 2))
+    o1 = jnp.broadcast_to(tx_pos[None, :, None],
+                          q.shape).reshape(-1, 3)
+    if refraction:
+        t1 = transmission_product(
+            o1, s_i_vec.reshape(-1, 3), tri, eta_tri, th_tri,
+            lam, excl_ids=excl_b, accel=accel)
+        t2 = transmission_product(
+            q.reshape(-1, 3), s_d_vec.reshape(-1, 3), tri,
+            eta_tri, th_tri, lam, excl_ids=excl_b, accel=accel)
+        amp = amp * (t1 * t2).reshape(num_w, num_tx, num_rx)
+    else:
+        blocked1 = any_blocking_hit(
+            o1, s_i_vec.reshape(-1, 3), tri,
+            excl_ids=excl_b, accel=accel)
+        blocked2 = any_blocking_hit(
+            q.reshape(-1, 3), s_d_vec.reshape(-1, 3), tri,
+            excl_ids=excl_b, accel=accel)
+        valid &= ~(blocked1 | blocked2).reshape(
+            num_w, num_tx, num_rx)
+
+    tau = total_len / SPEED_OF_LIGHT
+    return combine_paths(scene, txs, rxs, shat_i, u_r, jones, amp,
+                         valid, tau)
