@@ -1,10 +1,12 @@
 """Benchmark driver for Sionna-TPU.
 
-Default (`python bench.py`) runs the FLAGSHIP workload and prints ONE
-JSON line {"metric", "value", "unit", "vs_baseline"} for the driver.
-`python bench.py --all` runs every BASELINE.md config (one JSON line
-each) and writes the collection to BENCH_ALL.json;
-`python bench.py NAME` runs a single named bench.
+Default (`python bench.py`, same as `--all`) runs every BASELINE.md
+config, prints one JSON line {"metric", "value", "unit",
+"vs_baseline"} per metric (FLAGSHIP first, so a single-line consumer
+reads the headline number), and writes the collection to
+BENCH_ALL.json.  `python bench.py NAME` runs a single named bench;
+`python bench.py --mesh [N]` runs the flagship chunk data-parallel
+over an N-device mesh via shard_map (psum'd error counters).
 
 Flagship workload = the reference's own headline benchmark
 (`/root/reference/tutorials/phy/Discover_Sionna.ipynb` cells 31/33/39):
@@ -65,7 +67,11 @@ def _timed_calls(chunk, args_fn, n_calls):
 # 1. Flagship: TDL-A MIMO-OFDM coded link (reference notebook config)
 # ----------------------------------------------------------------- #
 
-def bench_flagship(batch=2048, n_scan=16, n_calls=2):
+def _flagship_step(batch, n_scan, fft_size=256, ldpc_engine="pallas"):
+    """Builds the flagship link and returns (step_fn, k): step_fn is a
+    pure (ebno_db, key) -> error-count function running ``n_scan``
+    scan-fused MC iterations at ``batch`` blocks each (NOT jitted —
+    callers wrap in jit or shard_map)."""
     from sionna_tpu.phy import BinarySource, Mapper, Demapper
     from sionna_tpu.phy.mimo import StreamManagement
     from sionna_tpu.phy.ofdm import (ResourceGrid, ResourceGridMapper,
@@ -78,7 +84,7 @@ def bench_flagship(batch=2048, n_scan=16, n_calls=2):
     from sionna_tpu.phy.utils import ebnodb2no
 
     nbps, r = 4, 0.5
-    rg = ResourceGrid(num_ofdm_symbols=14, fft_size=256,
+    rg = ResourceGrid(num_ofdm_symbols=14, fft_size=fft_size,
                       subcarrier_spacing=30e3, num_tx=1,
                       num_streams_per_tx=1, cyclic_prefix_length=16,
                       pilot_pattern="kronecker",
@@ -98,10 +104,9 @@ def bench_flagship(batch=2048, n_scan=16, n_calls=2):
     equ = LMMSEEqualizer(rg, sm)
     demapper = Demapper("app", "qam", nbps)
     dec = LDPC5GDecoder(enc, hard_out=True, cn_update="boxplus",
-                        num_iter=20, engine="pallas")
+                        num_iter=20, engine=ldpc_engine)
 
-    @jax.jit
-    def chunk(ebno_db, key):
+    def step(ebno_db, key):
         no = ebnodb2no(ebno_db, nbps, r, rg)
 
         def body(carry, i):
@@ -118,6 +123,13 @@ def bench_flagship(batch=2048, n_scan=16, n_calls=2):
 
         tot, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(n_scan))
         return tot
+
+    return step, k
+
+
+def bench_flagship(batch=2048, n_scan=16, n_calls=2):
+    step, k = _flagship_step(batch, n_scan)
+    chunk = jax.jit(step)
 
     ebno = jnp.asarray(5.0, jnp.float32)
     key = jax.random.PRNGKey(0)
@@ -241,10 +253,11 @@ def bench_polar(n_scan=2, n_calls=3):
     awgn = AWGN()
     out = []
     # the SC tree is latency-bound: throughput scales ~linearly with
-    # batch (8.1 -> 124.5 Mb/s from 512 -> 8192 on v5e); SCL's list
-    # state peaks at moderate batch
+    # batch (8.1 -> 124.5 Mb/s from 512 -> 8192 on v5e); SCL-8 with
+    # lazy path selection saturates near batch 4096 (15.9 / 19.8 /
+    # 19.7 Mb/s decoder-only at 2048 / 4096 / 8192)
     for dec_type, list_size, batch in (("SC", None, 8192),
-                                       ("SCL", 8, 2048)):
+                                       ("SCL", 8, 4096)):
         enc = Polar5GEncoder(k, n)
         kwargs = {} if list_size is None else {"list_size": list_size}
         dec = Polar5GDecoder(enc, dec_type=dec_type, **kwargs)
@@ -456,6 +469,59 @@ def bench_ldpc_iters(batch=2048, num_iter=20, n_calls=3):
     }]
 
 
+def bench_mesh(n_dev=None, batch_per_dev=1024, n_scan=8, n_calls=2,
+               fft_size=256, ldpc_engine="pallas"):
+    """Data-parallel flagship over a device mesh: the flagship chunk
+    runs under ``shard_map`` with per-device key shards and a psum'd
+    error counter (the analog of the reference's MirroredStrategy
+    path, /root/reference/src/sionna/phy/utils/misc.py:618-655).
+
+    On a multi-chip TPU slice this measures DP scaling; on the
+    8-device virtual CPU mesh (JAX_PLATFORMS=cpu XLA_FLAGS=
+    --xla_force_host_platform_device_count=8) it asserts correctness
+    of the sharded program — `tests/test_bench_mesh.py` runs a small
+    configuration in CI."""
+    from functools import partial
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    devs = jax.devices()
+    if n_dev is None:
+        n_dev = len(devs)
+    if len(devs) < n_dev:
+        return [{"metric": "flagship_mesh_info_bit_throughput",
+                 "error": f"need {n_dev} devices, have {len(devs)}"}]
+    mesh = Mesh(np.array(devs[:n_dev]), ("dp",))
+    step, k = _flagship_step(batch_per_dev, n_scan,
+                             fft_size=fft_size,
+                             ldpc_engine=ldpc_engine)
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P("dp")),
+             out_specs=P())
+    def chunk(ebno_db, keys):
+        e = step(ebno_db, keys[0])
+        return jax.lax.psum(e, "dp")
+
+    ebno = jnp.asarray(5.0, jnp.float32)
+    root = jax.random.PRNGKey(0)
+
+    def args(i):
+        return (ebno,
+                jax.random.split(jax.random.fold_in(root, i), n_dev))
+
+    dt, errs = _timed_calls(chunk, args, n_calls)
+    assert errs > 0
+    tput = n_calls * n_scan * batch_per_dev * n_dev * k / dt
+    return [{
+        "metric": "flagship_mesh_info_bit_throughput",
+        "value": round(tput / 1e6, 3),
+        "unit": "Mbit/s",
+        "vs_baseline": round(tput / FLAGSHIP_BASELINE_BITS_PER_S, 3),
+        "n_devices": n_dev,
+    }]
+
+
 BENCHES = {
     "flagship": bench_flagship,
     "coded_awgn": bench_coded_awgn,
@@ -467,21 +533,43 @@ BENCHES = {
 }
 
 
+def _run_all():
+    """Every BASELINE config; one JSON line per metric (flagship
+    first so single-line consumers still read the headline number);
+    the collection also lands in BENCH_ALL.json."""
+    results = []
+    for name, fn in BENCHES.items():
+        try:
+            rs = fn()
+        except Exception as ex:  # keep going; record the failure
+            rs = [{"metric": name, "error":
+                   f"{type(ex).__name__}: {ex}"}]
+        for r in rs:
+            print(json.dumps(r), flush=True)
+        results.extend(rs)
+    # mesh scaling is only meaningful with >1 device attached
+    if len(jax.devices()) > 1:
+        try:
+            rs = bench_mesh()
+        except Exception as ex:
+            rs = [{"metric": "flagship_mesh", "error":
+                   f"{type(ex).__name__}: {ex}"}]
+        for r in rs:
+            print(json.dumps(r), flush=True)
+        results.extend(rs)
+    with open("BENCH_ALL.json", "w") as f:
+        json.dump(results, f, indent=1)
+
+
 def main():
-    arg = sys.argv[1] if len(sys.argv) > 1 else "flagship"
+    arg = sys.argv[1] if len(sys.argv) > 1 else "--all"
     if arg == "--all":
-        results = []
-        for name, fn in BENCHES.items():
-            try:
-                rs = fn()
-            except Exception as ex:  # keep going; record the failure
-                rs = [{"metric": name, "error":
-                       f"{type(ex).__name__}: {ex}"}]
-            for r in rs:
-                print(json.dumps(r), flush=True)
-            results.extend(rs)
-        with open("BENCH_ALL.json", "w") as f:
-            json.dump(results, f, indent=1)
+        _run_all()
+        return
+    if arg == "--mesh":
+        n_dev = int(sys.argv[2]) if len(sys.argv) > 2 else None
+        for r in bench_mesh(n_dev=n_dev):
+            print(json.dumps(r))
         return
     for r in BENCHES[arg]():
         print(json.dumps(r))

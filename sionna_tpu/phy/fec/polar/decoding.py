@@ -247,12 +247,23 @@ def _fast_sc_decode_batch(llr_ch, frozen_mask_np, n,
 
 
 def _fast_scl_decode_batch(llr_ch, frozen_mask_np, n, list_size,
-                           use_fast=True):
+                           use_fast=True, use_spc=False):
     """Batched fast-SSCL decode (rate-0 / repetition / rate-1 pruning
     with exact node path metrics; the reference's use_fast_scl prunes
     rate-0/rep only, /root/reference/src/sionna/phy/fec/polar/
     decoding.py:424). llr_ch [B, n] classic convention.
-    Returns (u [B, L, n], pm [B, L])."""
+    Returns (u [B, L, n], pm [B, L]).
+
+    Path bookkeeping is LAZY: a fork only composes a per-buffer
+    [B, L] parent-index vector (an O(B*L) int gather per live
+    buffer); the actual cross-path shuffle of a wide [B, L, w]
+    buffer is deferred until that buffer is next READ, at which
+    point the composition of all intervening fork selections is
+    applied once.  This replaces the former eager scheme (permute
+    every live ancestor at every fork, O(sum-of-ancestor-widths)
+    per fork) with O(#buffers * B * L) per fork plus one
+    materialization per buffer read — the dominant SCL cost on both
+    TPU and CPU."""
     m = _sc_stages(n)
     bsz = llr_ch.shape[0]
     lsz = list_size
@@ -270,50 +281,84 @@ def _fast_scl_decode_batch(llr_ch, frozen_mask_np, n, list_size,
         "bb": {s: jnp.zeros((bsz, lsz, 1 << s), dtype)
                for s in range(m + 1)},
     }
+    # pending path-selection MATRIX per buffer (None = identity):
+    # pend[kind][s] is a one-hot [B, L, L] selection with
+    # pend[b, l, k] = 1 iff list row k of the buffer holds path l's
+    # value.  Composition and materialization are einsums — integer
+    # gathers over the L-wide lane dimension measurably regress on
+    # TPU, one-hot contractions do not.  bb needs no entry: every bb
+    # is written after its node's last fork and consumed by the
+    # parent before the next fork.
+    pend = {"llr": {s: None for s in range(m)},
+            "bl": {s: None for s in range(m)}}
     # channel LLRs are identical across paths; never permuted
     root_llr = jnp.broadcast_to(llr_ch[:, None, :], (bsz, lsz, n))
 
     def clip(x):
         return jnp.clip(x, -_LLR_MAX, _LLR_MAX)
 
+    def compose(old, parents):
+        # selection-matrix composition: new path l extends old path
+        # parents[l]; one-hot einsums throughout (cross-path integer
+        # gathers over the L-wide lane dim measurably regress on TPU)
+        oh = jax.nn.one_hot(parents, lsz, dtype=dtype)
+        if old is None:
+            return oh
+        return jnp.einsum('blk,bkj->blj', oh, old)
+
+    def select(x, parents):
+        """Eagerly shuffle [B, L, ...] buffer rows by parent index
+        (exact: each output row sums exactly one term)."""
+        oh = jax.nn.one_hot(parents, lsz, dtype=dtype)
+        if x.ndim == 2:
+            return jnp.einsum('blk,bk->bl', oh, x)
+        return jnp.einsum('blk,bkw->blw', oh, x)
+
     def fork(pm0, pm1, stage):
         """2L -> L path selection for a fork inside the node at
         ``stage``.  Candidate layout [u=0 paths ; u=1 paths] matches
         the per-bit decoder's info_case for identical tie-breaking.
 
-        Only the buffers that are live across a fork are permuted:
-        ancestors re-read their own llr (stages > stage) and their
-        left-sibling bits (bl, stages >= stage), while every bb entry
-        is written after its node's last fork and consumed by the
-        parent before the next fork can occur, and the forking node's
-        own llr is never re-read -- skipping those halves the per-fork
-        gather volume.  Returns (bits, parents) so nodes that fork
-        repeatedly (rate-1) can permute their local temporaries."""
+        Only live buffers track the selection: ancestors re-read
+        their own llr (stages > stage) and their left-sibling bits
+        (bl, stages >= stage); the forking node's own llr is never
+        re-read.  Returns (bits, parents)."""
         pm_all = jnp.concatenate([pm0, pm1], axis=-1)  # [B, 2L]
+        # NOTE: measured on TPU (P(1024,512) L=8 b=4096): lax.top_k
+        # here costs ~25% of decode time, but a 10-stage bitonic
+        # select network is WORSE on both runtime (134 ms vs 106 ms)
+        # and compile (522 s vs 100 s) — cross-lane static shuffles
+        # don't beat the fused TopK custom call.
         neg, idx = jax.lax.top_k(-pm_all, lsz)
         parents = jnp.mod(idx, lsz)
         bits = (idx >= lsz).astype(dtype)
         state["pm"] = -neg
-        # path permutation as a one-hot [B, L, L] matmul: an MXU
-        # contraction beats a cross-path gather on TPU for the wide
-        # buffers (and is exact — each output row sums one term)
-        perm = jax.nn.one_hot(parents, lsz, dtype=dtype)
-        pidx = parents[..., None]
-
-        def apply(x):
-            w2 = x.shape[-1]
-            if w2 >= 32:
-                return jnp.einsum('blk,bkw->blw', perm, x)
-            return jnp.take_along_axis(x, pidx, axis=1)
-
+        oh = jax.nn.one_hot(parents, lsz, dtype=dtype)  # [B, L, L]
         for s2 in range(stage + 1, m):
-            state["llr"][s2] = apply(state["llr"][s2])
+            p = pend["llr"][s2]
+            pend["llr"][s2] = oh if p is None else \
+                jnp.einsum('blk,bkj->blj', oh, p)
         for s2 in range(stage, m):
-            state["bl"][s2] = apply(state["bl"][s2])
-        return bits, parents, apply
+            p = pend["bl"][s2]
+            pend["bl"][s2] = oh if p is None else \
+                jnp.einsum('blk,bkj->blj', oh, p)
+        return bits, parents
+
+    def read(kind, s):
+        """Materialize any pending path selection, then read."""
+        p = pend[kind][s]
+        if p is not None:
+            state[kind][s] = jnp.einsum('blk,bkw->blw', p,
+                                        state[kind][s])
+            pend[kind][s] = None
+        return state[kind][s]
+
+    def write(kind, s, value):
+        state[kind][s] = value
+        pend[kind][s] = None
 
     def node_llr(s):
-        return root_llr if s == m else state["llr"][s]
+        return root_llr if s == m else read("llr", s)
 
     def decode(s, lo):
         """Decodes the node of width 2^s at bit offset lo; its LLR is
@@ -335,7 +380,7 @@ def _fast_scl_decode_batch(llr_ch, frozen_mask_np, n, list_size,
                 state["bb"][0] = jnp.zeros_like(llr)
             else:
                 pm1 = state["pm"] + jax.nn.softplus(clip(l0))
-                bits, _, _ = fork(pm0, pm1, 0)
+                bits, _ = fork(pm0, pm1, 0)
                 state["bb"][0] = bits[..., None]
             return
         if use_fast and sub[:-1].all() and not sub[-1]:
@@ -344,9 +389,63 @@ def _fast_scl_decode_batch(llr_ch, frozen_mask_np, n, list_size,
                                         axis=-1)
             pm1 = state["pm"] + jnp.sum(jax.nn.softplus(clip(llr)),
                                         axis=-1)
-            bits, _, _ = fork(pm0, pm1, s)
+            bits, _ = fork(pm0, pm1, s)
             state["bb"][s] = jnp.broadcast_to(bits[..., None],
                                               (bsz, lsz, w))
+            return
+        if use_fast and use_spc and s >= 1 and sub[0] \
+                and not sub[1:].any():
+            # single-parity-check node (Hashemi SSCL-SPC): first bit
+            # frozen, rest info -> node codewords are the even-parity
+            # vectors.  min(L, w) - 1 forks over the least-reliable
+            # positions with a parity-repair flip at the least
+            # reliable bit give the NODE-OPTIMAL list (verified
+            # identical to brute-force enumeration of all even-parity
+            # codewords).  Per-bit SCL is greedy-SUBOPTIMAL inside
+            # SPC nodes (it prunes mid-node on partial metrics), so
+            # this rule is better-or-equal but NOT bit-identical to
+            # the per-bit schedule — hence opt-in (use_spc), keeping
+            # the default path reference-exact.
+            # Flipping bit i_j toggles the path's parity, so the
+            # repair flip at i_0 toggles with per-path state sigma:
+            # delta_j = |l_ij| + (1 - 2 sigma) |l_i0|.
+            a = jnp.abs(clip(llr))
+            h = (llr < 0).astype(dtype)
+            tau = min(lsz, w)
+            neg_vals, pos = jax.lax.top_k(-a, tau)  # ascending |llr|
+            vals = -neg_vals                        # [B, L, tau]
+            gamma = jnp.mod(jnp.sum(h, axis=-1), 2)  # [B, L]
+            state["pm"] = state["pm"] + jnp.sum(
+                jax.nn.softplus(-a), axis=-1) + gamma * vals[..., 0]
+            sigma = gamma  # 1 where the i_0 repair flip is active
+            if tau == 1:
+                # no info forks (w == 1 impossible here; tau==1 means
+                # lsz == 1): codeword is h with the repair flip
+                flip0 = sigma[..., None] * jax.nn.one_hot(
+                    pos[..., 0], w, dtype=dtype)
+                state["bb"][s] = jnp.mod(h + flip0, 2)
+                return
+            local = None
+            flips = jnp.zeros((bsz, lsz, tau), dtype)
+            eye_tau = jnp.eye(tau, dtype=dtype)
+            for j in range(1, tau):
+                delta = vals[..., j] + (1 - 2 * sigma) * vals[..., 0]
+                bits, parents = fork(state["pm"],
+                                     state["pm"] + delta, s)
+                vals = select(vals, parents)
+                flips = select(flips, parents)
+                sigma = select(sigma, parents)
+                flips = flips + bits[..., None] * eye_tau[j]
+                sigma = jnp.mod(sigma + bits, 2)
+                local = compose(local, parents)
+            h = jnp.einsum('blk,bkw->blw', local, h)
+            pos = jnp.einsum('blk,bkj->blj', local,
+                             pos.astype(dtype)).astype(pos.dtype)
+            # final repair flip at i_0 rides the flips vector
+            flips = flips + sigma[..., None] * eye_tau[0]
+            pos_oh = jax.nn.one_hot(pos, w, dtype=dtype)
+            flip = jnp.einsum('blj,bljw->blw', flips, pos_oh)
+            state["bb"][s] = jnp.mod(h + flip, 2)
             return
         if use_fast and not sub.any():
             # rate-1 (Hashemi thm. 2): forking the min(L-1, w) least
@@ -365,34 +464,39 @@ def _fast_scl_decode_batch(llr_ch, frozen_mask_np, n, list_size,
                 return
             neg_vals, pos = jax.lax.top_k(-a, nf)  # ascending |llr|
             vals = -neg_vals
-            flip = jnp.zeros_like(h)
-            # fold positions into f32 one-hots once so the per-fork
-            # local permutes ride the same MXU contraction
-            pos_oh = jax.nn.one_hot(pos, w, dtype=dtype)  # [B,L,nf,w]
-            pos_oh = jnp.reshape(pos_oh, (bsz, lsz, nf * w))
+            # h and pos are only read after the last fork: defer
+            # their shuffles through a composed local index.  vals
+            # (read every fork) and the flip decisions (accumulated
+            # every fork) are narrow [B, L, nf] and shuffled eagerly.
+            local = None
+            flips = jnp.zeros((bsz, lsz, nf), dtype)
+            eye_nf = jnp.eye(nf, dtype=dtype)
             for j in range(nf):
-                bits, parents, apply = fork(
+                bits, parents = fork(
                     state["pm"], state["pm"] + vals[..., j], s)
-                h = apply(h)
-                vals = apply(vals)
-                pos_oh = apply(pos_oh)
-                flip = apply(flip)
-                # positions are distinct across j: plain accumulate
-                flip = flip + bits[..., None] * jnp.reshape(
-                    pos_oh, (bsz, lsz, nf, w))[..., j, :]
+                vals = select(vals, parents)
+                flips = select(flips, parents)
+                flips = flips + bits[..., None] * eye_nf[j]
+                local = compose(local, parents)
+            h = jnp.einsum('blk,bkw->blw', local, h)
+            pos = jnp.einsum('blk,bkj->blj', local,
+                             pos.astype(dtype)).astype(pos.dtype)
+            # scatter the flip decisions onto distinct positions:
+            # flip[b,l,w] = sum_j flips[b,l,j] * onehot(pos[b,l,j])
+            pos_oh = jax.nn.one_hot(pos, w, dtype=dtype)  # [B,L,nf,w]
+            flip = jnp.einsum('blj,bljw->blw', flips, pos_oh)
             state["bb"][s] = jnp.mod(h + flip, 2)
             return
         half = w // 2
         llr = node_llr(s)
-        state["llr"][s - 1] = _boxplus(llr[..., :half],
-                                       llr[..., half:])
+        write("llr", s - 1, _boxplus(llr[..., :half], llr[..., half:]))
         decode(s - 1, lo)
-        state["bl"][s - 1] = state["bb"][s - 1]
-        llr = node_llr(s)  # re-read: forks permuted the buffers
-        state["llr"][s - 1] = _g_op(llr[..., :half], llr[..., half:],
-                                    state["bl"][s - 1])
+        write("bl", s - 1, state["bb"][s - 1])
+        llr = node_llr(s)  # re-read: left-child forks moved paths
+        write("llr", s - 1, _g_op(llr[..., :half], llr[..., half:],
+                                  read("bl", s - 1)))
         decode(s - 1, lo + half)
-        bl, br = state["bl"][s - 1], state["bb"][s - 1]
+        bl, br = read("bl", s - 1), state["bb"][s - 1]
         state["bb"][s] = jnp.concatenate([jnp.mod(bl + br, 2), br],
                                          axis=-1)
 
@@ -465,7 +569,8 @@ class PolarSCLDecoder(Block):
     def __init__(self, frozen_pos, n, list_size=8, crc_degree=None,
                  use_hybrid_sc=False, use_fast_scl=True,
                  cpu_only=False, use_scatter=False, ind_iil_inv=None,
-                 return_crc_status=False, precision=None, **kwargs):
+                 return_crc_status=False, use_spc=False,
+                 precision=None, **kwargs):
         super().__init__(precision=precision, **kwargs)
         # use_fast_scl selects the pruned-tree decoder (rate-0/rep/
         # rate-1 node shortcuts with exact node path metrics; the
@@ -483,6 +588,11 @@ class PolarSCLDecoder(Block):
                 "the TPU implementation (output is unchanged)",
                 stacklevel=2)
         self._use_fast_scl = bool(use_fast_scl)
+        # use_spc additionally prunes single-parity-check nodes with
+        # the NODE-OPTIMAL fork schedule (better-or-equal to, but not
+        # bit-identical with, per-bit SCL — see
+        # _fast_scl_decode_batch); off by default for reference parity
+        self._use_spc = bool(use_spc)
         n = int(n)
         frozen_pos = np.asarray(frozen_pos)
         if np.log2(n) != int(np.log2(n)):
@@ -564,7 +674,8 @@ class PolarSCLDecoder(Block):
 
         if self._use_fast_scl:
             u_list, pm = _fast_scl_decode_batch(
-                llr, self._frozen_mask, self._n, self._list_size)
+                llr, self._frozen_mask, self._n, self._list_size,
+                use_spc=self._use_spc)
             u_cand = jnp.take(u_list, jnp.asarray(self._info_pos),
                               axis=-1)
             u_hat, crc_status = jax.vmap(self._select_path)(u_cand, pm)
