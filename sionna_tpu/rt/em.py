@@ -137,6 +137,62 @@ def transmission_product(orig, dirs, tri, eta_tri, th_tri, lam,
     return prod
 
 
+def jones_factor_components(b, t_te, t_tm, e_s_raw, e_a, e_b):
+    """Components of the per-blocker transmission Jones factor in the
+    caller's transverse basis, identity where ``b`` is False.
+
+    e_s_raw: unnormalized TE axis (d x n) per blocker [R, C, 3];
+    e_a/e_b: [R, 3].  Returns (j00, j01, j11) each [R, C] complex64
+    (the factor is symmetric: j10 == j01)."""
+    one_c = jnp.asarray(1. + 0j, jnp.complex64)
+    zero_c = jnp.asarray(0. + 0j, jnp.complex64)
+    t_te = jnp.where(b, t_te, one_c)
+    t_tm = jnp.where(b, t_tm, one_c)
+    s_norm = jnp.linalg.norm(e_s_raw, axis=-1, keepdims=True)
+    e_s = jnp.where(s_norm > 1e-6,
+                    e_s_raw / jnp.maximum(s_norm, 1e-30),
+                    e_a[:, None, :])
+    c = jnp.sum(e_s * e_a[:, None, :], -1)          # cos psi
+    s = jnp.sum(e_s * e_b[:, None, :], -1)          # sin psi
+    cc = (c * c).astype(jnp.complex64)
+    ss = (s * s).astype(jnp.complex64)
+    cs = (c * s).astype(jnp.complex64)
+    j00 = cc * t_te + ss * t_tm
+    j01 = cs * (t_te - t_tm)
+    j11 = ss * t_te + cc * t_tm
+    # non-blocking slots must be exactly identity (t_te == t_tm == 1
+    # already gives that, but guard the off-diagonal against rounding)
+    j01 = jnp.where(b, j01, zero_c)
+    return j00, j01, j11
+
+
+def jones_tree_prod(j00, j01, j10, j11):
+    """Ordered matrix product over axis 1 of per-blocker 2x2 factors
+    (index 0 applied FIRST, i.e. rightmost).  Matrix multiplication
+    is associative, so a pairwise tree preserves the sequential
+    result while vectorizing the reduction (log2 C levels instead of
+    a C-step scan)."""
+    while j00.shape[1] > 1:
+        c = j00.shape[1]
+        if c % 2:
+            def pad(x, v):
+                return jnp.concatenate(
+                    [x, jnp.full_like(x[:, :1], v)], axis=1)
+            j00 = pad(j00, 1.)
+            j11 = pad(j11, 1.)
+            j01 = pad(j01, 0.)
+            j10 = pad(j10, 0.)
+        a00, a01 = j00[:, 0::2], j01[:, 0::2]   # earlier (right)
+        a10, a11 = j10[:, 0::2], j11[:, 0::2]
+        b00, b01 = j00[:, 1::2], j01[:, 1::2]   # later (left)
+        b10, b11 = j10[:, 1::2], j11[:, 1::2]
+        j00 = b00 * a00 + b01 * a10
+        j01 = b00 * a01 + b01 * a11
+        j10 = b10 * a00 + b11 * a10
+        j11 = b10 * a01 + b11 * a11
+    return j00[:, 0], j01[:, 0], j10[:, 0], j11[:, 0]
+
+
 def transmission_jones_product(orig, dirs, tri, eta_tri, th_tri, lam,
                                e_a, e_b, excl_ids=None,
                                max_elems=16_000_000):
@@ -201,43 +257,23 @@ def transmission_jones_product(orig, dirs, tri, eta_tri, th_tri, lam,
                                 axis=-1))            # [R, C]
         t_te, t_tm = slab_transmission(
             cos_i.astype(jnp.float32), eta_k[None], th_k[None], lam)
-        one_c = jnp.asarray(1. + 0j, jnp.complex64)
-        t_te = jnp.where(b, t_te, one_c)
-        t_tm = jnp.where(b, t_tm, one_c)
         # TE axis of each blocker in the (e_a, e_b) plane:
-        # e_s = d x n, normalized; at normal incidence fall back to
-        # e_a (TE == TM there so the angle is irrelevant)
-        e_s = jnp.cross(d_hat[:, None, :], n_k[None])   # [R, C, 3]
-        s_norm = jnp.linalg.norm(e_s, axis=-1, keepdims=True)
-        e_s = jnp.where(s_norm > 1e-6,
-                        e_s / jnp.maximum(s_norm, 1e-30),
-                        e_a[:, None, :])
-        c = jnp.sum(e_s * e_a[:, None, :], -1)          # cos psi
-        s = jnp.sum(e_s * e_b[:, None, :], -1)          # sin psi
+        # e_s = d x n; at normal incidence fall back to e_a (TE == TM
+        # there so the angle is irrelevant).
         # R(psi) J0 R(-psi) with J0 = diag(t_te, t_tm):
         # [[c^2 te + s^2 tm, c s (te - tm)],
         #  [c s (te - tm),   s^2 te + c^2 tm]]
-        cc = (c * c).astype(jnp.complex64)
-        ss = (s * s).astype(jnp.complex64)
-        cs = (c * s).astype(jnp.complex64)
-        j00 = cc * t_te + ss * t_tm
-        j01 = cs * (t_te - t_tm)
-        j11 = ss * t_te + cc * t_tm
-        # product over the chunk: blockers with parallel normals give
-        # commuting factors; accumulate with a small scan over C
-        def inner(jm, idx):
-            m00 = j00[:, idx]
-            m01 = j01[:, idx]
-            m11 = j11[:, idx]
-            a00 = m00 * jm[:, 0, 0] + m01 * jm[:, 1, 0]
-            a01 = m00 * jm[:, 0, 1] + m01 * jm[:, 1, 1]
-            a10 = m01 * jm[:, 0, 0] + m11 * jm[:, 1, 0]
-            a11 = m01 * jm[:, 0, 1] + m11 * jm[:, 1, 1]
-            return jnp.stack(
-                [jnp.stack([a00, a01], -1),
-                 jnp.stack([a10, a11], -1)], -2), None
-        jones, _ = jax.lax.scan(inner, jones,
-                                jnp.arange(j00.shape[1]))
+        e_s_raw = jnp.cross(d_hat[:, None, :], n_k[None])  # [R, C, 3]
+        j00, j01, j11 = jones_factor_components(
+            b, t_te, t_tm, e_s_raw, e_a, e_b)
+        c00, c01, c10, c11 = jones_tree_prod(j00, j01, j01, j11)
+        a = jones
+        n00 = c00 * a[:, 0, 0] + c01 * a[:, 1, 0]
+        n01 = c00 * a[:, 0, 1] + c01 * a[:, 1, 1]
+        n10 = c10 * a[:, 0, 0] + c11 * a[:, 1, 0]
+        n11 = c10 * a[:, 0, 1] + c11 * a[:, 1, 1]
+        jones = jnp.stack([jnp.stack([n00, n01], -1),
+                           jnp.stack([n10, n11], -1)], -2)
         return jones, None
 
     init = jnp.broadcast_to(

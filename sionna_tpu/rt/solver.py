@@ -34,6 +34,7 @@ from ..phy.constants import PI, SPEED_OF_LIGHT
 from .accel import build_accel
 from .diffraction import extract_wedges, eval_diffraction
 from .em import (slab_transmission, transmission_product,
+                 transmission_jones_product,
                  fresnel_coefficients)
 from .field import combine_paths
 from .geometry import (EPS as _EPS, normalize as _normalize,
@@ -547,47 +548,15 @@ class PathSolver:
         total_len = jnp.sum(seg_len, axis=0)   # [S, tx, rx]
         valid &= total_len > 1e-6
 
-        # --- Occlusion: without refraction every segment must be free
-        # of intersections (ignoring the reflecting triangles at its
-        # endpoints); with refraction each blocker instead multiplies
-        # the amplitude by its slab transmission coefficient
-        trans = jnp.ones((s_count, num_tx, num_rx), jnp.complex64)
-        if scene.num_triangles > 0:
-            for k in range(depth + 1):
-                o = pts[k].reshape(-1, 3)
-                d = segs[k].reshape(-1, 3)
-                excl_ids = None
-                if depth > 0:
-                    ids = []
-                    for kk in (k - 1, k):
-                        if 0 <= kk < depth:
-                            ids.append(seq[:, kk])
-                        else:
-                            ids.append(jnp.full((s_count,), -1,
-                                                seq.dtype))
-                    excl = jnp.stack(ids, axis=1)      # [S, 2]
-                    excl_ids = jnp.broadcast_to(
-                        excl[:, None, None, :],
-                        (s_count, num_tx, num_rx, 2)).reshape(-1, 2)
-                if refraction:
-                    t_seg = transmission_product(
-                        o, d, tri, eta_tri, th_tri, lam,
-                        excl_ids=excl_ids,
-                        accel=getattr(self, "_accel", None))
-                    trans = trans * t_seg.reshape(
-                        s_count, num_tx, num_rx)
-                else:
-                    blocked = any_blocking_hit(
-                        o, d, tri, excl_ids=excl_ids,
-                        accel=getattr(self, "_accel", None))
-                    valid &= ~blocked.reshape(s_count, num_tx, num_rx)
-
-        # --- Polarized field transfer (Jones matrix cascade)
-        # basis vectors transverse to the first segment
+        # --- Per-segment transverse bases and reflection matrices.
+        # seg_basis[k] = (e_a, e_b) frame the field is expressed in
+        # while traveling segment k; each reflection rotates into the
+        # next frame.  Bases are needed BEFORE the occlusion loop so
+        # through-blocker transmission can be applied as a full
+        # polarimetric 2x2 Jones factor in the segment's own frame.
         e_a, e_b = sph_basis(d_hat[0])        # [S,tx,rx,3] each
-        jones = jnp.broadcast_to(
-            jnp.eye(2, dtype=jnp.complex64),
-            (s_count, num_tx, num_rx, 2, 2))
+        seg_basis = [(e_a, e_b)]
+        refl_rot = []
         for k in range(depth):
             d_in = d_hat[k]
             d_out = d_hat[k + 1]
@@ -622,8 +591,71 @@ class PathSolver:
             refl = jnp.zeros(rot.shape, jnp.complex64)
             refl = refl.at[..., 0, 0].set(r_s.astype(jnp.complex64))
             refl = refl.at[..., 1, 1].set(r_p.astype(jnp.complex64))
-            jones = refl @ rot @ jones
+            refl_rot.append((refl, rot))
             e_a, e_b = e_s, e_p_out
+            seg_basis.append((e_a, e_b))
+
+        # --- Occlusion: without refraction every segment must be free
+        # of intersections (ignoring the reflecting triangles at its
+        # endpoints); with refraction each blocker instead applies its
+        # per-polarization TE/TM slab coefficients as a 2x2 Jones
+        # factor in the segment's frame (em.transmission_jones_product
+        # — the upstream PathSolver keeps the same polarimetric
+        # cascade through its ``refraction`` interaction)
+        jones_t = [None] * (depth + 1)
+        if scene.num_triangles > 0:
+            for k in range(depth + 1):
+                o = pts[k].reshape(-1, 3)
+                d = segs[k].reshape(-1, 3)
+                excl_ids = None
+                if depth > 0:
+                    ids = []
+                    for kk in (k - 1, k):
+                        if 0 <= kk < depth:
+                            ids.append(seq[:, kk])
+                        else:
+                            ids.append(jnp.full((s_count,), -1,
+                                                seq.dtype))
+                    excl = jnp.stack(ids, axis=1)      # [S, 2]
+                    excl_ids = jnp.broadcast_to(
+                        excl[:, None, None, :],
+                        (s_count, num_tx, num_rx, 2)).reshape(-1, 2)
+                if refraction:
+                    ea_k, eb_k = seg_basis[k]
+                    shape3 = (s_count, num_tx, num_rx, 3)
+                    ea_k = jnp.broadcast_to(ea_k, shape3).reshape(-1, 3)
+                    eb_k = jnp.broadcast_to(eb_k, shape3).reshape(-1, 3)
+                    accel = getattr(self, "_accel", None)
+                    if accel is not None:
+                        from .accel import \
+                            transmission_jones_product_accel
+                        jt = transmission_jones_product_accel(
+                            o, d, accel, eta_tri, th_tri, lam,
+                            ea_k, eb_k, excl_ids=excl_ids)
+                    else:
+                        jt = transmission_jones_product(
+                            o, d, tri, eta_tri, th_tri, lam,
+                            ea_k, eb_k, excl_ids=excl_ids)
+                    jones_t[k] = jt.reshape(
+                        s_count, num_tx, num_rx, 2, 2)
+                else:
+                    blocked = any_blocking_hit(
+                        o, d, tri, excl_ids=excl_ids,
+                        accel=getattr(self, "_accel", None))
+                    valid &= ~blocked.reshape(s_count, num_tx, num_rx)
+
+        # --- Polarized field transfer (Jones matrix cascade):
+        # segment-k transmission (in frame k), then reflection k
+        jones = jnp.broadcast_to(
+            jnp.eye(2, dtype=jnp.complex64),
+            (s_count, num_tx, num_rx, 2, 2))
+        for k in range(depth + 1):
+            if jones_t[k] is not None:
+                jones = jones_t[k] @ jones
+            if k < depth:
+                refl, rot = refl_rot[k]
+                jones = refl @ rot @ jones
+        e_a, e_b = seg_basis[-1]
 
         # Project onto the receive spherical basis (arrival direction
         # u_r = -d_hat[-1]; e_theta(-u)=e_theta(u), e_phi(-u)=-e_phi(u))
@@ -639,7 +671,9 @@ class PathSolver:
 
         mag = (lam / (4. * PI * jnp.maximum(total_len, 1e-9))
                ).astype(jnp.float32)
-        amp = mag * phase_exp(total_len, lam) * trans
+        # through-blocker transmission is folded into the Jones
+        # cascade (jones_t factors) — amp carries spreading + phase
+        amp = mag * phase_exp(total_len, lam)
         tau = total_len / SPEED_OF_LIGHT
         return combine_paths(scene, txs, rxs, d_hat[0], u_r, jones,
                              amp, valid, tau)

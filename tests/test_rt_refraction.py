@@ -204,3 +204,112 @@ def test_trace_functional_refraction_gradients():
     assert float(jnp.abs(g_th).max()) > 0.
     # thicker lossy wall -> less power: d|a|^2/d(thickness) < 0
     assert float(g_th.sum()) < 0.
+
+
+def test_oblique_transmission_te_tm_split():
+    """45-degree incidence through a concrete wall: a V-polarized
+    link (E along z = TE for a horizontal crossing of an x-normal
+    wall) carries t_TE while an H-polarized link carries t_TM — the
+    old polarization-averaged scalar gave (t_TE + t_TM)/2 for both.
+    Upstream keeps the full TE/TM split through the Jones cascade."""
+    f = 3e9
+    lam = C / f
+    amps = {}
+    for pol in ("V", "H"):
+        sc = _wall_scene(frequency=f)  # wall in y-z plane, normal x
+        sc.tx_array = PlanarArray(1, 1, pattern="iso",
+                                  polarization=pol)
+        sc.rx_array = PlanarArray(1, 1, pattern="iso",
+                                  polarization=pol)
+        sc.add(Transmitter("tx", [-5., -5., 1.]))
+        sc.add(Receiver("rx", [5., 5., 1.]))
+        p = PathSolver()(sc, max_depth=0, samples_per_src=100,
+                         refraction=True)
+        v = np.asarray(p.valid)[0, 0]
+        assert v.sum() == 1
+        amps[pol] = np.asarray(p.a)[0, 0, 0, 0][v][0]
+    dist = np.linalg.norm([10., 10., 0.])
+    friis = lam / (4. * np.pi * dist)
+    mat = _wall_scene(frequency=f).triangle_materials[0]
+    eta = mat.complex_relative_permittivity(f)
+    cos_i = 1. / np.sqrt(2.)
+    t_te, t_tm = _slab_analytic(eta, mat.thickness, lam, cos_i)
+    # the split is material at 45 deg for concrete
+    assert abs(abs(t_te) - abs(t_tm)) / abs(t_te) > 0.05
+    np.testing.assert_allclose(np.abs(amps["V"]),
+                               friis * np.abs(t_te), rtol=1e-3)
+    np.testing.assert_allclose(np.abs(amps["H"]),
+                               friis * np.abs(t_tm), rtol=1e-3)
+
+
+def test_normal_incidence_polarimetric_equals_scalar():
+    """At normal incidence t_TE == t_TM, so the Jones cascade must
+    reproduce the scalar slab result for any polarization."""
+    f = 3e9
+    lam = C / f
+    for pol in ("V", "H"):
+        sc = _wall_scene(frequency=f)
+        sc.tx_array = PlanarArray(1, 1, pattern="iso",
+                                  polarization=pol)
+        sc.rx_array = PlanarArray(1, 1, pattern="iso",
+                                  polarization=pol)
+        sc.add(Transmitter("tx", [-5., 0., 1.]))
+        sc.add(Receiver("rx", [5., 0., 1.]))
+        p = PathSolver()(sc, max_depth=0, samples_per_src=100,
+                         refraction=True)
+        v = np.asarray(p.valid)[0, 0]
+        a = np.asarray(p.a)[0, 0, 0, 0][v][0]
+        mat = sc.triangle_materials[0]
+        eta = mat.complex_relative_permittivity(f)
+        t_te, t_tm = _slab_analytic(eta, mat.thickness, lam)
+        np.testing.assert_allclose(abs(t_te), abs(t_tm), rtol=1e-6)
+        friis = lam / (4. * np.pi * 10.)
+        np.testing.assert_allclose(np.abs(a), friis * np.abs(t_te),
+                                   rtol=1e-3)
+
+
+def test_transmission_jones_accel_matches_dense():
+    """The clustered polarimetric transmission query equals the dense
+    Jones product on a >=2048-triangle scene."""
+    from sionna_tpu.rt import make_city
+    from sionna_tpu.rt.accel import (build_accel,
+                                     transmission_jones_product_accel)
+    from sionna_tpu.rt.em import transmission_jones_product
+    city = make_city(4, 4, subdiv=5)
+    tri_np = city.triangles.astype(np.float32)
+    tri = jnp.asarray(tri_np)
+    accel = build_accel(tri_np)
+    rng = np.random.default_rng(7)
+    n_seg = 129
+    o = rng.uniform([-40, -40, 0.5], [40, 40, 3.], (n_seg, 3))
+    e = rng.uniform([-40, -40, 0.5], [40, 40, 30.], (n_seg, 3))
+    d = (e - o).astype(np.float32)
+    o = o.astype(np.float32)
+    dh = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    # arbitrary orthonormal transverse basis per segment
+    up = np.where(np.abs(dh[:, 2:3]) < 0.9,
+                  np.array([[0., 0., 1.]]), np.array([[1., 0., 0.]]))
+    ea = np.cross(dh, up)
+    ea /= np.linalg.norm(ea, axis=-1, keepdims=True)
+    eb = np.cross(dh, ea)
+    ea = ea.astype(np.float32)
+    eb = eb.astype(np.float32)
+    eta = np.full((tri_np.shape[0],), 5.24 - 0.46j, np.complex64)
+    th = np.full((tri_np.shape[0],), 0.1, np.float32)
+    lam = 0.0857
+    j_dense = np.asarray(transmission_jones_product(
+        jnp.asarray(o), jnp.asarray(d), tri, eta, th, lam,
+        jnp.asarray(ea), jnp.asarray(eb)))
+    j_accel = np.asarray(transmission_jones_product_accel(
+        jnp.asarray(o), jnp.asarray(d), accel, eta, th, lam,
+        jnp.asarray(ea), jnp.asarray(eb)))
+    # Jones factors of differently-oriented blockers do not commute:
+    # dense applies them in triangle-index order, accel in cluster
+    # entry-time order.  The commutator is second-order in the
+    # (small) cross-polarization terms — measured max 0.006 absolute
+    # (~ -44 dB) against a crossing-order oracle on this scene, far
+    # below the 0.1 dB parity budget.
+    np.testing.assert_allclose(j_accel, j_dense, atol=2e-2)
+    # sanity: some segments attenuate, and some have off-diagonal
+    # coupling (slanted roofs -> rotated incidence planes)
+    assert (np.abs(j_dense[:, 0, 0]) < 0.99).sum() > 5
