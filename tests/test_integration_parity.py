@@ -44,14 +44,29 @@ def test_bler_parity_mcs5_cbs100():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("mcs,cbs", bler_parity.FULL_SET)
-def test_bler_parity_full(mcs, cbs):
+@pytest.mark.parametrize("category,index,mcs,cbs",
+                         bler_parity.FULL_SET)
+def test_bler_parity_full(category, index, mcs, cbs):
     # enough Monte-Carlo depth that the estimator noise (~0.03 dB at
     # 6k blocks for the smallest CBS) stays well inside the 0.1 dB
     # budget
-    off, detail = bler_parity.run_config(mcs, cbs, batch_size=2000,
+    off, detail = bler_parity.run_config(mcs, cbs, category=category,
+                                         index=index,
+                                         batch_size=2000,
                                          max_mc_iter=10,
                                          verbose=False)
+    assert off < 0.1, detail
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("category,index,mcs,n_re",
+                         bler_parity.TB_SET)
+def test_bler_parity_multi_cb_tb(category, index, mcs, n_re):
+    """Multi-code-block transport block through TBEncoder/TBDecoder
+    vs the per-CB table anchor (see bler_parity.run_tb_config)."""
+    off, detail = bler_parity.run_tb_config(
+        mcs, n_re, category=category, index=index, batch_size=200,
+        max_mc_iter=5, verbose=False)
     assert off < 0.1, detail
 
 
