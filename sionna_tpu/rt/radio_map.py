@@ -188,27 +188,27 @@ class RadioMapSolver:
                 scene.tx_array = PlanarArray(1, 1, pattern="iso",
                                              polarization="V")
             solver = PathSolver()
-            paths = solver(scene, max_depth=max_depth,
-                           samples_per_src=samples_per_src,
-                           los=los,
-                           specular_reflection=specular_reflection,
-                           refraction=refraction,
-                           diffraction=diffraction,
-                           diffuse_reflection=diffuse_reflection,
-                           diffuse_samples=diffuse_samples,
-                           max_num_wedges=max_num_wedges)
+            # output="gain": each solver stage reduces to the
+            # incoherent per-cell gain ON DEVICE, so the fetch per
+            # stage is [cells, tx] floats instead of per-path
+            # complex fields for every cell
+            gain_ct = solver(scene, max_depth=max_depth,
+                             samples_per_src=samples_per_src,
+                             los=los,
+                             specular_reflection=specular_reflection,
+                             refraction=refraction,
+                             diffraction=diffraction,
+                             diffuse_reflection=diffuse_reflection,
+                             diffuse_samples=diffuse_samples,
+                             max_num_wedges=max_num_wedges,
+                             output="gain")  # [cells, tx]
         finally:
             scene.receivers.clear()
             scene.receivers.update(saved_rx)
             scene.rx_array = saved_rx_array
             scene.tx_array = saved_tx_array
 
-        # Path gain per (cell, tx): coherent sum over antenna pairs is
-        # 1x1 here; aggregate incoherently over paths (host math:
-        # Paths fields are NumPy)
-        a = np.asarray(paths.a)[:, 0, :, 0, :]  # [cells, tx, paths]
-        gain = np.sum(np.abs(a) ** 2, axis=-1)
-        gain = np.transpose(gain)              # [tx, cells]
+        gain = np.transpose(gain_ct)           # [tx, cells]
         gain = gain.reshape(gain.shape[0], ny, nx)
 
         tx_powers = np.array(

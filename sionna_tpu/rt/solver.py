@@ -104,7 +104,15 @@ class PathSolver:
                  diffuse_reflection=False,
                  diffuse_samples=4096,
                  max_num_wedges=20000,
-                 seed=41):
+                 seed=41, output="paths"):
+        """``output="paths"`` (default) returns the full Paths
+        object.  ``output="gain"`` instead reduces each solver stage
+        ON DEVICE to the incoherent per-link path gain
+        sum_paths |a[rx, 0, tx, 0, p]|^2 and returns a [rx, tx]
+        float array — the radio-map hot path, where fetching per-path
+        fields for tens of thousands of receivers would move MBs per
+        stage through the transfer layer for data that is immediately
+        reduced on host."""
         tx_names = list(scene.transmitters)
         rx_names = list(scene.receivers)
         if not tx_names or not rx_names:
@@ -217,24 +225,41 @@ class PathSolver:
                         rx_pos.shape,
                         self._accel is not None)).encode())
         base_key = fp.hexdigest()
+        gain_mode = output == "gain"
+
+        def _maybe_reduce(fn):
+            """In gain mode, reduce a stage's output ON DEVICE to the
+            incoherent per-link gain (element (0, 0) of the antenna
+            pair, matching the radio map's host math)."""
+            if not gain_mode:
+                return fn
+
+            def reduced(*args):
+                out = fn(*args)
+                a = out["a"]  # [rx, ra, tx, ta, S]
+                return {"gain": jnp.sum(
+                    jnp.abs(a[:, 0, :, 0, :]) ** 2, axis=-1)}
+            return reduced
 
         results = []
         for seq in sequences:
             # seq stays host NumPy: it is an index constant embedded
             # at trace time (zero-size LoS arrays cannot be
             # transferred to the TPU at all)
-            skey = (base_key, "spec",
+            skey = (base_key, "spec", output,
                     hashlib.blake2b(seq.tobytes(),
                                     digest_size=8).hexdigest())
             out = run_jitted(
                 skey,
-                lambda tp, rp, seq=seq:
-                self._eval_sequences(scene, tri, normals, seq, tp,
-                                     rp, eta_j, scat_j, txs, rxs,
-                                     th_tri=th_j,
-                                     refraction=refraction),
+                _maybe_reduce(
+                    lambda tp, rp, seq=seq:
+                    self._eval_sequences(scene, tri, normals, seq,
+                                         tp, rp, eta_j, scat_j, txs,
+                                         rxs, th_tri=th_j,
+                                         refraction=refraction)),
                 tx_j, rx_j)
-            out["interactions"] = np.asarray(seq)
+            if not gain_mode:
+                out["interactions"] = np.asarray(seq)
             results.append(out)
 
         # ------------------------------------------------------------
@@ -258,16 +283,19 @@ class PathSolver:
                               else v.astype(np.int32))
                           for k, v in wedges.items()}
                 out = run_jitted(
-                    (base_key, "diffr", num_w),
-                    lambda tp, rp:
-                    eval_diffraction(scene, tri, wedges, tp, rp,
-                                     eta_j, txs, rxs, th_tri=th_j,
-                                     refraction=refraction,
-                                     accel=self._accel),
+                    (base_key, "diffr", output, num_w),
+                    _maybe_reduce(
+                        lambda tp, rp:
+                        eval_diffraction(scene, tri, wedges, tp, rp,
+                                         eta_j, txs, rxs,
+                                         th_tri=th_j,
+                                         refraction=refraction,
+                                         accel=self._accel)),
                     tx_j, rx_j)
-                out["interactions"] = \
-                    wedges["tri_0"][:, None].astype(np.int64)
-                out["kind"] = 1
+                if not gain_mode:
+                    out["interactions"] = \
+                        wedges["tri_0"][:, None].astype(np.int64)
+                    out["kind"] = 1
                 results.append(out)
 
         # ------------------------------------------------------------
@@ -280,19 +308,32 @@ class PathSolver:
             if sample is not None:
                 p_np, tri_idx, d_area = sample
                 out = run_jitted(
-                    (base_key, "scat", diffuse_samples, seed),
-                    lambda tp, rp:
-                    eval_scattering(
-                        scene, tri, normals, tp, rp, eta_j,
-                        jnp.asarray(p_np), tri_idx, d_area,
-                        diffuse_samples, seed, txs, rxs,
-                        th_tri=th_j, refraction=refraction,
-                        accel=self._accel),
+                    (base_key, "scat", output, diffuse_samples,
+                     seed),
+                    _maybe_reduce(
+                        lambda tp, rp:
+                        eval_scattering(
+                            scene, tri, normals, tp, rp, eta_j,
+                            jnp.asarray(p_np), tri_idx, d_area,
+                            diffuse_samples, seed, txs, rxs,
+                            th_tri=th_j, refraction=refraction,
+                            accel=self._accel)),
                     tx_j, rx_j)
-                out["interactions"] = \
-                    tri_idx[:, None].astype(np.int64)
-                out["kind"] = 2
+                if not gain_mode:
+                    out["interactions"] = \
+                        tri_idx[:, None].astype(np.int64)
+                    out["kind"] = 2
                 results.append(out)
+
+        if gain_mode:
+            # [rx, tx] incoherent path gain.  The post-hoc
+            # _deduplicate pass is skipped: it only removes the
+            # measure-zero case of a specular point landing exactly
+            # on an edge shared by two coplanar triangles (counted
+            # once per triangle), which perturbs a single map cell by
+            # at most 3 dB on that one path — irrelevant against the
+            # MB-per-stage fetch it would require.
+            return np.sum([r["gain"] for r in results], axis=0)
 
         # Concatenate over path dim (host: results are NumPy)
         def cat(field):

@@ -430,3 +430,24 @@ def test_radio_map_sample_positions_and_render_overlay():
     assert not np.allclose(img_plain, img_rm)  # overlay visible
     img_prev = sc.preview(camera=cam, resolution=(64, 48))
     np.testing.assert_array_equal(img_prev, img_plain)
+
+
+def test_gain_output_matches_paths_reduction():
+    """PathSolver(output="gain") equals the host-side reduction of
+    the full Paths output (sum_paths |a[rx,0,tx,0,p]|^2)."""
+    from sionna_tpu.rt import (load_scene, Transmitter, Receiver,
+                               PlanarArray, PathSolver)
+    sc = load_scene("simple_street_canyon", frequency=3.5e9)
+    sc.tx_array = PlanarArray(1, 1, pattern="iso", polarization="V")
+    sc.rx_array = PlanarArray(1, 1, pattern="iso", polarization="V")
+    sc.add(Transmitter("tx", [-20., 0., 10.]))
+    sc.add(Receiver("rx0", [20., 5., 1.5]))
+    sc.add(Receiver("rx1", [10., -3., 1.5]))
+    solver = PathSolver()
+    kw = dict(max_depth=2, samples_per_src=20000)
+    paths = solver(sc, **kw)
+    a = np.asarray(paths.a)[:, 0, :, 0, :]
+    gain_ref = np.sum(np.abs(a) ** 2, axis=-1)       # [rx, tx]
+    gain_dev = solver(sc, output="gain", **kw)
+    np.testing.assert_allclose(gain_dev, gain_ref, rtol=1e-5,
+                               atol=1e-24)

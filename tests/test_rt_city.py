@@ -27,10 +27,13 @@ def _setup(scene):
 
 
 def test_city_paths_small():
-    """6x6-block city (~2k triangles): paths exist, delays are
-    physical, and the strongest path beats free-space loss bounds."""
-    sc = _setup(make_city(6, 6, subdiv=2))
-    assert sc.num_triangles > 1000
+    """6x6-block city (~3.3k triangles — ABOVE the accel threshold,
+    so the clustered path runs in the default tier): paths exist,
+    delays are physical, and the strongest path beats free-space
+    loss bounds."""
+    from sionna_tpu.rt.solver import ACCEL_MIN_TRIS
+    sc = _setup(make_city(6, 6, subdiv=3))
+    assert sc.num_triangles > ACCEL_MIN_TRIS
     paths = PathSolver()(sc, max_depth=2, samples_per_src=5000)
     valid = np.asarray(paths.valid)[0, 0]
     assert valid.sum() >= 1
