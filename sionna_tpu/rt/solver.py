@@ -242,25 +242,40 @@ class PathSolver:
             return reduced
 
         results = []
-        for seq in sequences:
-            # seq stays host NumPy: it is an index constant embedded
-            # at trace time (zero-size LoS arrays cannot be
-            # transferred to the TPU at all)
-            skey = (base_key, "spec", output,
-                    hashlib.blake2b(seq.tobytes(),
-                                    digest_size=8).hexdigest())
-            out = run_jitted(
-                skey,
-                _maybe_reduce(
-                    lambda tp, rp, seq=seq:
-                    self._eval_sequences(scene, tri, normals, seq,
-                                         tp, rp, eta_j, scat_j, txs,
-                                         rxs, th_tri=th_j,
-                                         refraction=refraction)),
-                tx_j, rx_j)
-            if not gain_mode:
-                out["interactions"] = np.asarray(seq)
-            results.append(out)
+        if sequences:
+            # ALL depth groups evaluate inside ONE jitted program
+            # (sequences stay host NumPy: index constants embedded at
+            # trace time — zero-size LoS arrays cannot be transferred
+            # to the TPU at all).  One dispatch + one packed fetch
+            # replaces one of each per depth: through the tunnel
+            # every stage costs ~50 ms in RPC turnaround alone.
+            skey = (base_key, "spec", output, tuple(
+                hashlib.blake2b(s.tobytes(), digest_size=8)
+                .hexdigest() for s in sequences))
+
+            def all_spec(tp, rp):
+                outs = {}
+                for i, seq in enumerate(sequences):
+                    o = _maybe_reduce(
+                        lambda tp2, rp2, seq=seq:
+                        self._eval_sequences(
+                            scene, tri, normals, seq, tp2, rp2,
+                            eta_j, scat_j, txs, rxs, th_tri=th_j,
+                            refraction=refraction))(tp, rp)
+                    for k, v in o.items():
+                        outs[f"{k}__{i}"] = v
+                return outs
+
+            combined = run_jitted(skey, all_spec, tx_j, rx_j)
+            per_idx = {}
+            for k, v in combined.items():
+                name, idx = k.rsplit("__", 1)
+                per_idx.setdefault(int(idx), {})[name] = v
+            for i, seq in enumerate(sequences):
+                out = per_idx[i]
+                if not gain_mode:
+                    out["interactions"] = np.asarray(seq)
+                results.append(out)
 
         # ------------------------------------------------------------
         # 2b) First-order UTD wedge diffraction
