@@ -201,16 +201,8 @@ def int2bin_jnp(ints, length):
 
 # Migration aliases carrying the reference's TF-era names so imports
 # port over unchanged (reference fec/utils.py:552,616)
-def bin2int_tf(arr, axis=-1):
-    """Alias of :func:`bin2int_jnp` under the reference's TF-era
-    name (reference fec/utils.py:552)."""
-    return bin2int_jnp(arr, axis)
-
-
-def int2bin_tf(ints, length):
-    """Alias of :func:`int2bin_jnp` under the reference's TF-era
-    name (reference fec/utils.py:616)."""
-    return int2bin_jnp(ints, length)
+bin2int_tf = bin2int_jnp
+int2bin_tf = int2bin_jnp
 
 
 def load_alist(path):

@@ -132,6 +132,7 @@ def test_dense_polar():
     assert np.sum((pcm @ gm.T) % 2) == 0
 
 
+@pytest.mark.slow  # per-bit exactness proofs: vmapped reference decoder, minutes
 def test_fast_ssc_matches_per_bit_sc():
     """The pruned-tree SC decoder must reproduce the per-bit SC
     decisions exactly (rate-0/rate-1/rep shortcuts are exact for the
@@ -154,6 +155,7 @@ def test_fast_ssc_matches_per_bit_sc():
             == 1.0
 
 
+@pytest.mark.slow  # per-bit exactness proofs: vmapped reference decoder, minutes
 def test_scl_unpruned_matches_per_bit_exactly():
     """With node pruning disabled, the tree-recursion SCL decoder
     (including its stage-aware fork permutation, which skips buffers
@@ -184,6 +186,7 @@ def test_scl_unpruned_matches_per_bit_exactly():
                                      - jnp.sort(pmn, -1)))) < 1e-3
 
 
+@pytest.mark.slow  # per-bit exactness proofs: vmapped reference decoder, minutes
 def test_fast_sscl_matches_per_bit_scl():
     """Fast-SSCL (rate-0/rep/rate-1 pruning, Hashemi node metrics)
     produces the same decisions as per-bit SCL on virtually every

@@ -252,6 +252,7 @@ def test_ldpc_jit_grad():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+@pytest.mark.slow  # cross-engine grids: many jit variants, minutes on one CPU
 def test_ldpc_decoder_engines_agree():
     """Matmul and segment engines, f32 and bf16 messages, must give
     identical hard decisions at a moderate SNR."""
@@ -275,6 +276,7 @@ def test_ldpc_decoder_engines_agree():
         LDPC5GDecoder(enc, engine="cuda")
 
 
+@pytest.mark.slow  # cross-engine grids: many jit variants, minutes on one CPU
 def test_ldpc_layered_schedule():
     """Layered (serial-C) scheduling converges ~2x faster per
     iteration than flooding."""
@@ -315,6 +317,7 @@ def test_ldpc_layered_schedule():
     assert ber(d_custom) == layer5
 
 
+@pytest.mark.slow  # cross-engine grids: many jit variants, minutes on one CPU
 def test_ldpc_pallas_engine_interpret():
     """The experimental fused Pallas engine is bit-exact vs the XLA
     lifted engine (interpreter mode on CPU)."""
@@ -338,6 +341,7 @@ def test_ldpc_pallas_engine_interpret():
 # test/unit/fec/test_ldpc_decoding.py:93-119)
 # ------------------------------------------------------------------ #
 
+@pytest.mark.slow  # cross-engine grids: many jit variants, minutes on one CPU
 @pytest.mark.parametrize("engine", ["segment", "matmul", "lifted"])
 @pytest.mark.parametrize("use_jit", [False, True])
 @pytest.mark.parametrize("precision", ["single", "double"])
@@ -366,6 +370,7 @@ def test_ldpc_decoder_mode_grid(engine, use_jit, precision):
     np.testing.assert_array_equal(u_hat, u_ref)
 
 
+@pytest.mark.slow  # cross-engine grids: many jit variants, minutes on one CPU
 @pytest.mark.parametrize("cn", ["minsum", "boxplus"])
 def test_ldpc_layered_lifted_engines_match_segment(cn):
     """Layered (serial-C) scheduling on the lifted and Pallas engines

@@ -7,6 +7,11 @@ matched filter must recover exactly; MF only has to stay sane."""
 import numpy as np
 import pytest
 
+# Monte-Carlo integration matrix: minutes on one CPU -> slow
+# tier (detector integration matrix); unit-level coverage of the same blocks runs in the
+# default tier.
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

@@ -17,6 +17,11 @@ high SNR for the detector matrix)."""
 import numpy as np
 import pytest
 
+# Monte-Carlo integration matrix: minutes on one CPU -> slow
+# tier (full reference integration matrix); unit-level coverage of the same blocks runs in the
+# default tier.
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

@@ -10,6 +10,11 @@ perfect/estimated-CSI matrix: LDPC -> QAM -> resource grid ->
 import numpy as np
 import pytest
 
+# Monte-Carlo integration matrix: minutes on one CPU -> slow
+# tier (MIMO-OFDM-over-CDL integration matrix); unit-level coverage of the same blocks runs in the
+# default tier.
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

@@ -140,6 +140,7 @@ def test_tb_encoder_multi_cb():
     assert np.all(np.asarray(crc_ok))
 
 
+@pytest.mark.slow  # full PUSCH RX chain compile, ~min each on one CPU
 def test_pusch_end_to_end_awgn():
     """Full PUSCH TX -> AWGN -> RX at high SNR decodes error-free."""
     config.seed = 3
@@ -156,6 +157,7 @@ def test_pusch_end_to_end_awgn():
     assert np.all(np.asarray(crc))
 
 
+@pytest.mark.slow  # full PUSCH RX chain compile, ~min each on one CPU
 def test_pusch_end_to_end_codebook():
     """Codebook-precoded 2-port PUSCH with perfect CSI."""
     config.seed = 4
@@ -181,6 +183,7 @@ def test_pusch_end_to_end_codebook():
     assert float(compute_ber(b, b_hat)) == 0.0
 
 
+@pytest.mark.slow  # full PUSCH RX chain compile, ~min each on one CPU
 def test_pusch_time_domain():
     config.seed = 5
     pc = PUSCHConfig()

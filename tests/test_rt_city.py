@@ -34,7 +34,7 @@ def test_city_paths_small():
     from sionna_tpu.rt.solver import ACCEL_MIN_TRIS
     sc = _setup(make_city(6, 6, subdiv=3))
     assert sc.num_triangles > ACCEL_MIN_TRIS
-    paths = PathSolver()(sc, max_depth=2, samples_per_src=5000)
+    paths = PathSolver()(sc, max_depth=2, samples_per_src=2000)
     valid = np.asarray(paths.valid)[0, 0]
     assert valid.sum() >= 1
     tau = np.asarray(paths.tau)[0, 0][valid]
