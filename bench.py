@@ -67,11 +67,15 @@ def _timed_calls(chunk, args_fn, n_calls):
 # 1. Flagship: TDL-A MIMO-OFDM coded link (reference notebook config)
 # ----------------------------------------------------------------- #
 
-def _flagship_step(batch, n_scan, fft_size=256, ldpc_engine="pallas"):
+def _flagship_step(batch, n_scan, fft_size=256, ldpc_engine="pallas",
+                   vary_axes=()):
     """Builds the flagship link and returns (step_fn, k): step_fn is a
     pure (ebno_db, key) -> error-count function running ``n_scan``
     scan-fused MC iterations at ``batch`` blocks each (NOT jitted —
-    callers wrap in jit or shard_map)."""
+    callers wrap in jit or shard_map).  Under shard_map, pass the mesh
+    axis names as ``vary_axes`` so the scan's initial error counter is
+    marked device-varying (its body output is; an unvarying constant
+    init trips shard_map's varying-manual-axes check)."""
     from sionna_tpu.phy import BinarySource, Mapper, Demapper
     from sionna_tpu.phy.mimo import StreamManagement
     from sionna_tpu.phy.ofdm import (ResourceGrid, ResourceGridMapper,
@@ -121,7 +125,11 @@ def _flagship_step(batch, n_scan, fft_size=256, ldpc_engine="pallas"):
             e = jnp.sum((b != b_hat).astype(jnp.int32))
             return carry + e.astype(carry.dtype), None
 
-        tot, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(n_scan))
+        init = jnp.int32(0)
+        if vary_axes:
+            init = jax.lax.pcast(init, tuple(vary_axes),
+                                 to="varying")
+        tot, _ = jax.lax.scan(body, init, jnp.arange(n_scan))
         return tot
 
     return step, k
@@ -483,7 +491,7 @@ def bench_mesh(n_dev=None, batch_per_dev=1024, n_scan=8, n_calls=2,
     configuration in CI."""
     from functools import partial
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     devs = jax.devices()
     if n_dev is None:
@@ -494,7 +502,8 @@ def bench_mesh(n_dev=None, batch_per_dev=1024, n_scan=8, n_calls=2,
     mesh = Mesh(np.array(devs[:n_dev]), ("dp",))
     step, k = _flagship_step(batch_per_dev, n_scan,
                              fft_size=fft_size,
-                             ldpc_engine=ldpc_engine)
+                             ldpc_engine=ldpc_engine,
+                             vary_axes=("dp",))
 
     @jax.jit
     @partial(shard_map, mesh=mesh, in_specs=(P(), P("dp")),
