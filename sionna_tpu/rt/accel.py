@@ -501,53 +501,152 @@ def any_blocking_hit_accel(orig, dirs, accel, excl_ids=None,
     return b_c.reshape(-1)[:num_rays]
 
 
-def _tri_unit_normals(tri):
-    n = jnp.cross(tri[..., 1, :] - tri[..., 0, :],
-                  tri[..., 2, :] - tri[..., 0, :])
-    return n / jnp.maximum(
-        jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-30)
+
+def _collect_blockers_accel(orig, dirs, accel, th_tri, e_a=None,
+                            e_b=None, excl_ids=None, ray_chunk=8192,
+                            group=16, k_max=64):
+    """Blocker-slot collection through the cluster structure: the K
+    nearest-t blocking triangles of each segment [orig, orig+dirs]
+    (see em.py's blocker-slot note).  Only cheap SoA geometry runs in
+    the per-cluster loop; the caller evaluates slab/Jones factors on
+    the K slots once.
+
+    A ray is exact when it entered at most ``k_max`` clusters; the
+    remaining rays are re-collected by a dense all-cluster sweep
+    under a scalar ``lax.cond``.  Cluster-id padding in the top-k
+    table repeats id 0, so padded slots are masked to eid -1 by their
+    +inf entry time (slot merging, unlike a boolean OR, is not
+    idempotent)."""
+    from .em import (empty_blocker_slots, blocker_candidates,
+                     merge_blocker_slots)
+
+    one = jnp.asarray(1., orig.dtype)
+    csz = accel.cluster_size
+    th_j = jnp.asarray(th_tri, jnp.float32)
+    d_hat_all = dirs / jnp.maximum(
+        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-30)
+    pol = e_a is not None
+
+    def dense_collect(o, d, dh, ea, eb, excl, tri_chunk_clusters=128):
+        n_c = accel.num_clusters
+        r = o.shape[0]
+        g = min(tri_chunk_clusters, n_c)
+        n_steps = -(-n_c // g)
+        cids = jnp.arange(n_steps * g, dtype=jnp.int32)
+        wrap = cids >= n_c                      # mask re-visits
+        cids = (cids % n_c).reshape(n_steps, g)
+        wrap = wrap.reshape(n_steps, g)
+
+        def body(slots, args):
+            cid, w = args
+            tri = accel.tri_c[cid].reshape(g * csz, 3, 3)
+            eid = jnp.where(w[:, None], -1,
+                            accel.old_id[cid]).reshape(g * csz)
+            cand = blocker_candidates(o, d, dh, tri, None, eid,
+                                      th_j, ea, eb, excl)
+            return merge_blocker_slots(slots, cand), None
+
+        init = empty_blocker_slots(r)
+        slots, _ = jax.lax.scan(body, init, (cids, wrap))
+        return slots
+
+    def one_chunk(o, d, dh, ea, eb, excl):
+        r = o.shape[0]
+        t_entry = _slab_entry(o, d, accel.lo, accel.hi, one)
+        ids, t_sort, n_steps, _, cnt = _top_clusters(
+            t_entry, k_max, group)
+
+        def body(slots, k):
+            cid = jax.lax.dynamic_slice_in_dim(
+                ids, k * group, group, axis=1)
+            ts = jax.lax.dynamic_slice_in_dim(
+                t_sort, k * group, group, axis=1)
+            tri = accel.tri_c[cid].reshape(r, group * csz, 3, 3)
+            eid = accel.old_id[cid].reshape(r, group * csz)
+            # padded top-k slots (inf entry) must not contribute
+            eid = jnp.where(
+                jnp.repeat(jnp.isfinite(ts), csz, axis=1), eid, -1)
+            cand = blocker_candidates(o, d, dh, tri, None, eid,
+                                      th_j, ea, eb, excl)
+            return merge_blocker_slots(slots, cand), None
+
+        init = empty_blocker_slots(r)
+
+        def process(_):
+            slots, _ = jax.lax.scan(body, init, jnp.arange(n_steps))
+            return slots
+
+        slots = jax.lax.cond(jnp.any(cnt > 0), process,
+                             lambda _: init, None)
+        exact = cnt <= k_max
+
+        def repair(_):
+            d_s = dense_collect(o, d, dh, ea, eb, excl)
+            return {key: jnp.where(exact[:, None], slots[key],
+                                   d_s[key]) for key in slots}
+
+        return jax.lax.cond(jnp.all(exact), lambda _: slots,
+                            repair, None)
+
+    num_rays = orig.shape[0]
+    if num_rays <= ray_chunk:
+        return one_chunk(orig, dirs, d_hat_all, e_a, e_b, excl_ids)
+    o_c, d_c, _ = _ray_chunks(orig, dirs, ray_chunk)
+    dh_c, _, _ = _ray_chunks(d_hat_all, dirs, ray_chunk)
+    if pol:
+        ea_c, _, _ = _ray_chunks(e_a, dirs, ray_chunk)
+        eb_c, _, _ = _ray_chunks(e_b, dirs, ray_chunk)
+    n_chunks = o_c.shape[0]
+    if excl_ids is not None:
+        k_e = excl_ids.shape[1]
+        pad = n_chunks * ray_chunk - num_rays
+        e_c = jnp.concatenate(
+            [excl_ids, jnp.full((pad, k_e), -2, excl_ids.dtype)],
+            axis=0).reshape(n_chunks, ray_chunk, k_e)
+    else:
+        e_c = None
+
+    def body(_, args):
+        o, d, dh = args[:3]
+        rest = args[3:]
+        ea, eb = (rest[0], rest[1]) if pol else (None, None)
+        e = rest[-1] if e_c is not None else None
+        return None, one_chunk(o, d, dh, ea, eb, e)
+
+    xs = (o_c, d_c, dh_c)
+    if pol:
+        xs += (ea_c, eb_c)
+    if e_c is not None:
+        xs += (e_c,)
+    _, s_c = jax.lax.scan(body, None, xs)
+    return {key: v.reshape(-1, v.shape[-1])[:num_rays]
+            for key, v in s_c.items()}
 
 
 def transmission_product_accel(orig, dirs, accel, eta_tri, th_tri,
                                lam, excl_ids=None, ray_chunk=8192,
                                group=16, k_max=64):
-    """Complex slab-transmission product of each segment through every
-    blocking triangle, via the cluster structure (the ``refraction``
-    analog of :func:`any_blocking_hit_accel`).
-
-    Unlike the boolean query there is no early exit: the product
-    needs EVERY blocker, so a ray is exact only when it entered at
-    most ``k_max`` clusters; the remaining rays are re-solved by a
-    dense all-cluster sweep under a scalar ``lax.cond``.  Cluster-id
-    padding in the top-k table repeats id 0, so padded slots are
-    masked by their +inf entry time (a product, unlike the boolean
-    OR, is not idempotent)."""
-    from .em import slab_transmission as _slab_transmission
+    """Complex polarization-averaged slab-transmission product of
+    each segment through EVERY blocking triangle, via the cluster
+    structure (the ``refraction`` analog of
+    :func:`any_blocking_hit_accel`).  The scalar product is
+    commutative and needs no compaction, so every blocker's factor is
+    accumulated directly per visited cluster group — exact (matches
+    the dense :func:`em.transmission_product`); a ray that entered
+    more than ``k_max`` clusters is re-solved by a dense all-cluster
+    sweep under a scalar ``lax.cond``."""
+    from .em import blocker_candidates, scalar_from_slots
 
     one = jnp.asarray(1., orig.dtype)
     csz = accel.cluster_size
-    eta_j = jnp.asarray(eta_tri, jnp.complex64)
     th_j = jnp.asarray(th_tri, jnp.float32)
-    d_hat = dirs / jnp.maximum(
+    d_hat_all = dirs / jnp.maximum(
         jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-30)
 
-    def slab_for(o, d, dh, tri, eid, excl):
-        """Per-blocker transmission factors for one triangle group:
-        returns t_eff [r, n_tri] with 1 where not blocking."""
-        t, hit = _mt_per_ray(o, d, tri)
-        b = hit & (eid >= 0) & (t > 1e-4) & (t < 1. - 1e-4)
-        if excl is not None:
-            b &= ~jnp.any(eid[:, :, None] == excl[:, None, :],
-                          axis=-1)
-        n = _tri_unit_normals(tri)
-        cos_i = jnp.abs(jnp.sum(dh[:, None, :] * n, axis=-1))
-        safe = jnp.clip(eid, 0, eta_j.shape[0] - 1)
-        t_te, t_tm = _slab_transmission(
-            cos_i.astype(jnp.float32), eta_j[safe], th_j[safe], lam)
-        t_eff = 0.5 * (t_te + t_tm)
-        # typed complex64 one: a bare `1.+0j` literal becomes a c128
-        # constant under x64, which the TPU compiler cannot lower
-        return jnp.where(b, t_eff, jnp.asarray(1. + 0j, jnp.complex64))
+    def group_prod(o, d, dh, tri, eid, excl):
+        cand = blocker_candidates(o, d, dh, tri, None, eid, th_j,
+                                  excl_ids=excl)
+        return scalar_from_slots(cand, eta_tri, th_tri, lam)
 
     def dense_product(o, d, dh, excl, tri_chunk_clusters=128):
         n_c = accel.num_clusters
@@ -561,14 +660,10 @@ def transmission_product_accel(orig, dirs, accel, eta_tri, th_tri,
 
         def body(prod, args):
             cid, w = args
-            tri = jnp.broadcast_to(
-                accel.tri_c[cid].reshape(1, g * csz, 3, 3),
-                (r, g * csz, 3, 3))
+            tri = accel.tri_c[cid].reshape(g * csz, 3, 3)
             eid = jnp.where(w[:, None], -1,
-                            accel.old_id[cid]).reshape(1, g * csz)
-            eid = jnp.broadcast_to(eid, (r, g * csz))
-            t_eff = slab_for(o, d, dh, tri, eid, excl)
-            return prod * jnp.prod(t_eff, axis=-1), None
+                            accel.old_id[cid]).reshape(g * csz)
+            return prod * group_prod(o, d, dh, tri, eid, excl), None
 
         init = jnp.ones((r,), jnp.complex64)
         prod, _ = jax.lax.scan(body, init, (cids, wrap))
@@ -590,8 +685,7 @@ def transmission_product_accel(orig, dirs, accel, eta_tri, th_tri,
             # padded top-k slots (inf entry) must not contribute
             eid = jnp.where(
                 jnp.repeat(jnp.isfinite(ts), csz, axis=1), eid, -1)
-            t_eff = slab_for(o, d, dh, tri, eid, excl)
-            return prod * jnp.prod(t_eff, axis=-1), None
+            return prod * group_prod(o, d, dh, tri, eid, excl), None
 
         init = jnp.ones((r,), jnp.complex64)
 
@@ -612,9 +706,9 @@ def transmission_product_accel(orig, dirs, accel, eta_tri, th_tri,
 
     num_rays = orig.shape[0]
     if num_rays <= ray_chunk:
-        return one_chunk(orig, dirs, d_hat, excl_ids)
+        return one_chunk(orig, dirs, d_hat_all, excl_ids)
     o_c, d_c, _ = _ray_chunks(orig, dirs, ray_chunk)
-    dh_c, _, _ = _ray_chunks(d_hat, dirs, ray_chunk)
+    dh_c, _, _ = _ray_chunks(d_hat_all, dirs, ray_chunk)
     n_chunks = o_c.shape[0]
     if excl_ids is not None:
         k_e = excl_ids.shape[1]
@@ -642,139 +736,23 @@ def transmission_jones_product_accel(orig, dirs, accel, eta_tri,
                                      excl_ids=None, ray_chunk=8192,
                                      group=16, k_max=64):
     """Polarimetric analog of :func:`transmission_product_accel`:
-    accumulates the ordered 2x2 Jones cascade of per-blocker TE/TM
-    slab coefficients (see :func:`em.transmission_jones_product`)
-    through the cluster structure.  e_a/e_b: [R, 3] transverse basis
-    of each segment.  Returns [R, 2, 2] complex64.
+    the ordered 2x2 Jones cascade of per-blocker TE/TM slab
+    coefficients (see :func:`em.transmission_jones_product`) through
+    the cluster structure.  e_a/e_b: [R, 3] transverse basis of each
+    segment.  Returns [R, 2, 2] complex64.
 
-    Clusters are visited in entry-time order; within a group the
-    ordered pairwise tree of :func:`em.jones_tree_prod` preserves the
-    sequential product exactly."""
-    from .em import (slab_transmission as _slab,
-                     jones_factor_components, jones_tree_prod)
-
-    one = jnp.asarray(1., orig.dtype)
-    csz = accel.cluster_size
-    eta_j = jnp.asarray(eta_tri, jnp.complex64)
-    th_j = jnp.asarray(th_tri, jnp.float32)
-    d_hat_all = dirs / jnp.maximum(
-        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-30)
-
-    def group_jones(o, d, dh, ea, eb, tri, eid, excl):
-        """Ordered Jones product of one triangle group: [r, 2, 2]
-        components (j00, j01, j10, j11)."""
-        t, hit = _mt_per_ray(o, d, tri)
-        b = hit & (eid >= 0) & (t > 1e-4) & (t < 1. - 1e-4)
-        if excl is not None:
-            b &= ~jnp.any(eid[:, :, None] == excl[:, None, :],
-                          axis=-1)
-        n = _tri_unit_normals(tri)
-        cos_i = jnp.abs(jnp.sum(dh[:, None, :] * n, axis=-1))
-        safe = jnp.clip(eid, 0, eta_j.shape[0] - 1)
-        t_te, t_tm = _slab(cos_i.astype(jnp.float32), eta_j[safe],
-                           th_j[safe], lam)
-        e_s_raw = jnp.cross(dh[:, None, :], n)
-        j00, j01, j11 = jones_factor_components(
-            b, t_te, t_tm, e_s_raw, ea, eb)
-        return jones_tree_prod(j00, j01, j01, j11)
-
-    def mat_mul(c, a):
-        """(c00,c01,c10,c11) @ [r,2,2] -> [r,2,2]."""
-        c00, c01, c10, c11 = c
-        n00 = c00 * a[:, 0, 0] + c01 * a[:, 1, 0]
-        n01 = c00 * a[:, 0, 1] + c01 * a[:, 1, 1]
-        n10 = c10 * a[:, 0, 0] + c11 * a[:, 1, 0]
-        n11 = c10 * a[:, 0, 1] + c11 * a[:, 1, 1]
-        return jnp.stack([jnp.stack([n00, n01], -1),
-                          jnp.stack([n10, n11], -1)], -2)
-
-    def dense_jones(o, d, dh, ea, eb, excl, tri_chunk_clusters=128):
-        n_c = accel.num_clusters
-        r = o.shape[0]
-        g = min(tri_chunk_clusters, n_c)
-        n_steps = -(-n_c // g)
-        cids = jnp.arange(n_steps * g, dtype=jnp.int32)
-        wrap = cids >= n_c
-        cids = (cids % n_c).reshape(n_steps, g)
-        wrap = wrap.reshape(n_steps, g)
-
-        def body(jones, args):
-            cid, w = args
-            tri = jnp.broadcast_to(
-                accel.tri_c[cid].reshape(1, g * csz, 3, 3),
-                (r, g * csz, 3, 3))
-            eid = jnp.where(w[:, None], -1,
-                            accel.old_id[cid]).reshape(1, g * csz)
-            eid = jnp.broadcast_to(eid, (r, g * csz))
-            c = group_jones(o, d, dh, ea, eb, tri, eid, excl)
-            return mat_mul(c, jones), None
-
-        init = jnp.broadcast_to(jnp.eye(2, dtype=jnp.complex64),
-                                (r, 2, 2))
-        jones, _ = jax.lax.scan(body, init, (cids, wrap))
-        return jones
-
-    def one_chunk(o, d, dh, ea, eb, excl):
-        r = o.shape[0]
-        t_entry = _slab_entry(o, d, accel.lo, accel.hi, one)
-        ids, t_sort, n_steps, _, cnt = _top_clusters(
-            t_entry, k_max, group)
-
-        def body(jones, k):
-            cid = jax.lax.dynamic_slice_in_dim(
-                ids, k * group, group, axis=1)
-            ts = jax.lax.dynamic_slice_in_dim(
-                t_sort, k * group, group, axis=1)
-            tri = accel.tri_c[cid].reshape(r, group * csz, 3, 3)
-            eid = accel.old_id[cid].reshape(r, group * csz)
-            eid = jnp.where(
-                jnp.repeat(jnp.isfinite(ts), csz, axis=1), eid, -1)
-            c = group_jones(o, d, dh, ea, eb, tri, eid, excl)
-            return mat_mul(c, jones), None
-
-        init = jnp.broadcast_to(jnp.eye(2, dtype=jnp.complex64),
-                                (r, 2, 2))
-
-        def process(_):
-            jones, _ = jax.lax.scan(body, init, jnp.arange(n_steps))
-            return jones
-
-        jones = jax.lax.cond(jnp.any(cnt > 0), process,
-                             lambda _: init, None)
-        exact = cnt <= k_max
-
-        def repair(_):
-            d_j = dense_jones(o, d, dh, ea, eb, excl)
-            return jnp.where(exact[:, None, None], jones, d_j)
-
-        return jax.lax.cond(jnp.all(exact), lambda _: jones,
-                            repair, None)
-
-    num_rays = orig.shape[0]
-    if num_rays <= ray_chunk:
-        return one_chunk(orig, dirs, d_hat_all, e_a, e_b, excl_ids)
-    o_c, d_c, _ = _ray_chunks(orig, dirs, ray_chunk)
-    dh_c, _, _ = _ray_chunks(d_hat_all, dirs, ray_chunk)
-    ea_c, _, _ = _ray_chunks(e_a, dirs, ray_chunk)
-    eb_c, _, _ = _ray_chunks(e_b, dirs, ray_chunk)
-    n_chunks = o_c.shape[0]
-    if excl_ids is not None:
-        k_e = excl_ids.shape[1]
-        pad = n_chunks * ray_chunk - num_rays
-        e_c = jnp.concatenate(
-            [excl_ids, jnp.full((pad, k_e), -2, excl_ids.dtype)],
-            axis=0).reshape(n_chunks, ray_chunk, k_e)
-    else:
-        e_c = None
-
-    def body(_, args):
-        if e_c is None:
-            o, d, dh, ea, eb = args
-            return None, one_chunk(o, d, dh, ea, eb, None)
-        o, d, dh, ea, eb, e = args
-        return None, one_chunk(o, d, dh, ea, eb, e)
-
-    xs = (o_c, d_c, dh_c, ea_c, eb_c) if e_c is None else \
-        (o_c, d_c, dh_c, ea_c, eb_c, e_c)
-    _, j_c = jax.lax.scan(body, None, xs)
-    return j_c.reshape(-1, 2, 2)[:num_rays]
+    Slots are merged in ascending-t order, so the cascade applies
+    factors in true along-ray crossing order regardless of cluster
+    visit order.  Differences vs the dense
+    :func:`em.transmission_jones_product`: (a) the dense sweep uses
+    triangle-index order (commutator only in cross-pol terms,
+    ~ -44 dB); (b) only the K = 16 nearest blockers contribute here —
+    each dropped factor has |t| < 1, so truncation can only
+    overestimate a path that 16+ walls have already pushed below
+    -100 dB."""
+    from .em import jones_from_slots
+    slots = _collect_blockers_accel(
+        orig, dirs, accel, th_tri, e_a=e_a, e_b=e_b,
+        excl_ids=excl_ids, ray_chunk=ray_chunk, group=group,
+        k_max=k_max)
+    return jones_from_slots(slots, eta_tri, th_tri, lam)

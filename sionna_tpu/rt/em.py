@@ -66,6 +66,213 @@ def slab_transmission(cos_i, eta, d_th, lam):
             slab(r_tm.astype(jnp.complex64)))
 
 
+# ----------------------------------------------------------------------
+# Blocker-slot machinery: the through-blocker transmission cascade is
+# evaluated in two phases.  Phase 1 (the hot loop over ALL triangles)
+# does only cheap geometry — Moller-Trumbore plus a top-k merge that
+# keeps each segment's K nearest-t blockers in crossing order.  Phase 2
+# runs the expensive complex slab transcendentals and the ordered 2x2
+# Jones cascade on just those K slots.  Compared with evaluating slab
+# coefficients for every (ray, triangle) pair this cuts the
+# transcendental + matrix-cascade work by ~C/K (C = triangles per scan
+# step), and makes the factor order the true along-ray crossing order
+# regardless of triangle visit order — so the dense and clustered
+# (accel.py) paths produce identical results by construction.
+#
+# A segment crossing more than K blockers keeps the K nearest; each
+# dropped slab factor has |t| < 1, so the kept product only
+# *overestimates* the magnitude of a path that K building walls have
+# already attenuated to irrelevance (16 concrete walls ~ -100 dB).
+# ----------------------------------------------------------------------
+
+DEFAULT_K_BLOCKERS = 16
+
+
+def empty_blocker_slots(num_rays, k_blockers=DEFAULT_K_BLOCKERS,
+                        rdtype=jnp.float32):
+    """Initial slot carry: no blockers."""
+    return {
+        "t": jnp.full((num_rays, k_blockers), jnp.inf, rdtype),
+        "cos_i": jnp.zeros((num_rays, k_blockers), jnp.float32),
+        "c": jnp.ones((num_rays, k_blockers), jnp.float32),
+        "s": jnp.zeros((num_rays, k_blockers), jnp.float32),
+        "eid": jnp.full((num_rays, k_blockers), -1, jnp.int32),
+    }
+
+
+def blocker_candidates(orig, dirs, d_hat, tri, n_tri, eid, th_tri,
+                       e_a=None, e_b=None, excl_ids=None):
+    """Per-(ray, triangle) blocker candidate fields for one triangle
+    group.
+
+    orig/dirs/d_hat: [R, 3]; tri: [R, C, 3, 3] or [C, 3, 3];
+    n_tri: matching unit normals [..., C, 3], or None to compute them
+    here (SoA, from the MT edge vectors); eid: [R, C] or [C]
+    original triangle ids (-1 = padding); e_a/e_b: [R, 3] transverse
+    basis (optional — only needed for the polarimetric cascade).
+    Returns a slot-field dict of [R, C] arrays where non-blocking
+    entries carry t = +inf / eid = -1.
+
+    Fully SoA ([R, C] components, never [R, C, 3] vectors): a minor
+    dim of 3 pads to 128 TPU lanes and costs a measured 6.5x (see
+    geometry.moller_trumbore)."""
+    if tri.ndim == 3:
+        tri = tri[None]
+        if n_tri is not None:
+            n_tri = n_tri[None]
+    if eid.ndim == 1:
+        eid = eid[None]
+    dx, dy, dz = (dirs[:, i:i + 1] for i in range(3))
+    ox, oy, oz = (orig[:, i:i + 1] for i in range(3))
+    v0x, v0y, v0z = (tri[..., 0, i] for i in range(3))
+    e1x, e1y, e1z = (tri[..., 1, i] - tri[..., 0, i]
+                     for i in range(3))
+    e2x, e2y, e2z = (tri[..., 2, i] - tri[..., 0, i]
+                     for i in range(3))
+    # Moller-Trumbore (same tolerances as geometry.moller_trumbore)
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = px * e1x + py * e1y + pz * e1z
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1. / det, 0.)
+    sx = ox - v0x
+    sy = oy - v0y
+    sz = oz - v0z
+    u = (sx * px + sy * py + sz * pz) * inv_det
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    hit = ((jnp.abs(det) > 1e-12) & (u >= -1e-9) & (v >= -1e-9)
+           & (u + v <= 1. + 1e-9))
+    b = hit & (eid >= 0) & (t > 1e-4) & (t < 1. - 1e-4)
+    if excl_ids is not None:
+        b &= ~jnp.any(eid[:, :, None] == excl_ids[:, None, :],
+                      axis=-1)
+    # zero-thickness materials transmit with factor exactly 1 —
+    # never worth a slot
+    safe = jnp.clip(eid, 0, th_tri.shape[0] - 1)
+    b &= jnp.asarray(th_tri, jnp.float32)[safe] > 0.
+    dhx, dhy, dhz = (d_hat[:, i:i + 1] for i in range(3))
+    if n_tri is None:
+        # unit normals from the MT edge vectors, SoA
+        nx = e1y * e2z - e1z * e2y
+        ny = e1z * e2x - e1x * e2z
+        nz = e1x * e2y - e1y * e2x
+        inv_len = 1. / jnp.maximum(
+            jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-30)
+        nx, ny, nz = nx * inv_len, ny * inv_len, nz * inv_len
+    else:
+        nx, ny, nz = (n_tri[..., i] for i in range(3))
+    cos_i = jnp.abs(dhx * nx + dhy * ny + dhz * nz
+                    ).astype(jnp.float32)
+    if e_a is None:
+        c = jnp.ones(b.shape, jnp.float32)
+        s = jnp.zeros(b.shape, jnp.float32)
+    else:
+        # TE axis of each blocker within the (e_a, e_b) plane; at
+        # normal incidence (|d x n| ~ 0) fall back to e_a — TE == TM
+        # there so the angle is irrelevant and (c, s) = (1, 0).
+        ex = dhy * nz - dhz * ny
+        ey = dhz * nx - dhx * nz
+        ez = dhx * ny - dhy * nx
+        s_norm = jnp.sqrt(ex * ex + ey * ey + ez * ez)
+        inv_n = 1. / jnp.maximum(s_norm, 1e-30)
+        eax, eay, eaz = (e_a[:, i:i + 1] for i in range(3))
+        ebx, eby, ebz = (e_b[:, i:i + 1] for i in range(3))
+        small = s_norm <= 1e-6
+        c = jnp.where(small, 1., (ex * eax + ey * eay + ez * eaz)
+                      * inv_n).astype(jnp.float32)
+        s = jnp.where(small, 0., (ex * ebx + ey * eby + ez * ebz)
+                      * inv_n).astype(jnp.float32)
+    return {
+        "t": jnp.where(b, t, jnp.inf).astype(jnp.float32),
+        "cos_i": cos_i,
+        "c": c,
+        "s": s,
+        "eid": jnp.where(b, eid, -1).astype(jnp.int32),
+    }
+
+
+def merge_blocker_slots(slots, cand):
+    """Keeps the K smallest-t entries of slots ++ candidates,
+    ascending in t (along-ray crossing order)."""
+    k = slots["t"].shape[1]
+    t_all = jnp.concatenate([slots["t"], cand["t"]], axis=1)
+    neg, idx = jax.lax.top_k(-t_all, k)
+    out = {"t": -neg}
+    for key in ("cos_i", "c", "s", "eid"):
+        merged = jnp.concatenate([slots[key], cand[key]], axis=1)
+        out[key] = jnp.take_along_axis(merged, idx, axis=1)
+    return out
+
+
+def jones_from_slots(slots, eta_tri, th_tri, lam):
+    """Ordered polarimetric transmission cascade of the collected
+    blocker slots: [R, 2, 2] complex64.  Slots are ascending in t, so
+    index 0 is crossed (and applied) first."""
+    eid = slots["eid"]
+    valid = eid >= 0
+    safe = jnp.clip(eid, 0, jnp.asarray(eta_tri).shape[0] - 1)
+    eta_j = jnp.asarray(eta_tri, jnp.complex64)
+    th_j = jnp.asarray(th_tri, jnp.float32)
+    t_te, t_tm = slab_transmission(
+        slots["cos_i"], eta_j[safe], th_j[safe], lam)
+    one_c = jnp.asarray(1. + 0j, jnp.complex64)
+    zero_c = jnp.asarray(0. + 0j, jnp.complex64)
+    t_te = jnp.where(valid, t_te, one_c)
+    t_tm = jnp.where(valid, t_tm, one_c)
+    c, s = slots["c"], slots["s"]
+    cc = (c * c).astype(jnp.complex64)
+    ss = (s * s).astype(jnp.complex64)
+    cs = (c * s).astype(jnp.complex64)
+    j00 = cc * t_te + ss * t_tm
+    j01 = jnp.where(valid, cs * (t_te - t_tm), zero_c)
+    j11 = ss * t_te + cc * t_tm
+    c00, c01, c10, c11 = jones_tree_prod(j00, j01, j01, j11)
+    return jnp.stack([jnp.stack([c00, c01], -1),
+                      jnp.stack([c10, c11], -1)], -2)
+
+
+def scalar_from_slots(slots, eta_tri, th_tri, lam):
+    """Polarization-averaged transmission product of the collected
+    blocker slots: [R] complex64 (commutative, order-free)."""
+    eid = slots["eid"]
+    valid = eid >= 0
+    safe = jnp.clip(eid, 0, jnp.asarray(eta_tri).shape[0] - 1)
+    eta_j = jnp.asarray(eta_tri, jnp.complex64)
+    th_j = jnp.asarray(th_tri, jnp.float32)
+    t_te, t_tm = slab_transmission(
+        slots["cos_i"], eta_j[safe], th_j[safe], lam)
+    one_c = jnp.asarray(1. + 0j, jnp.complex64)
+    t_eff = jnp.where(valid, 0.5 * (t_te + t_tm), one_c)
+    return jnp.prod(t_eff, axis=-1)
+
+
+def _dense_chunks(orig, dirs, tri, max_elems):
+    """Chunked triangle views for the dense sweep: (tri_c [n, C, 3, 3],
+    n_c [n, C, 3], ids [n, C], d_hat [R, 3])."""
+    num_rays = orig.shape[0]
+    num_tri = tri.shape[0]
+    chunk = num_tri if num_rays * num_tri <= max_elems \
+        else max(64, max_elems // max(num_rays, 1))
+    n_chunks = -(-num_tri // chunk)
+    pad = n_chunks * chunk - num_tri
+    tri_p = jnp.concatenate(
+        [tri, jnp.zeros((pad, 3, 3), tri.dtype)], axis=0)
+    tri_c = tri_p.reshape(n_chunks, chunk, 3, 3)
+    n_p = jnp.concatenate(
+        [tri_normals(tri), jnp.ones((pad, 3), tri.dtype)])
+    n_c = n_p.reshape(n_chunks, chunk, 3)
+    ids = jnp.concatenate(
+        [jnp.arange(num_tri, dtype=jnp.int32),
+         jnp.full((pad,), -1, jnp.int32)]).reshape(n_chunks, chunk)
+    d_hat = dirs / jnp.maximum(
+        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-30)
+    return tri_c, n_c, ids, d_hat
+
+
 def transmission_product(orig, dirs, tri, eta_tri, th_tri, lam,
                          excl_ids=None, max_elems=16_000_000,
                          accel=None):
@@ -86,54 +293,22 @@ def transmission_product(orig, dirs, tri, eta_tri, th_tri, lam,
         return transmission_product_accel(
             orig, dirs, accel, eta_tri, th_tri, lam,
             excl_ids=excl_ids)
-    num_rays = orig.shape[0]
-    num_tri = tri.shape[0]
-    chunk = num_tri if num_rays * num_tri <= max_elems \
-        else max(64, max_elems // max(num_rays, 1))
-    n_chunks = -(-num_tri // chunk)
-    pad = n_chunks * chunk - num_tri
-    tri_p = jnp.concatenate(
-        [tri, jnp.zeros((pad, 3, 3), tri.dtype)], axis=0)
-    tri_c = tri_p.reshape(n_chunks, chunk, 3, 3)
-    eta_p = jnp.concatenate(
-        [jnp.asarray(eta_tri, jnp.complex64),
-         jnp.ones((pad,), jnp.complex64)])
-    eta_c = eta_p.reshape(n_chunks, chunk)
-    th_p = jnp.concatenate(
-        [jnp.asarray(th_tri, jnp.float32), jnp.zeros((pad,),
-                                                     jnp.float32)])
-    th_c = th_p.reshape(n_chunks, chunk)
-    n_p = jnp.concatenate(
-        [tri_normals(tri), jnp.ones((pad, 3), tri.dtype)])
-    n_c = n_p.reshape(n_chunks, chunk, 3)
-    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    d_hat = dirs / jnp.maximum(
-        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-30)
+    tri_c, n_c, ids, d_hat = _dense_chunks(orig, dirs, tri, max_elems)
+
+    def chunk_prod(tri_k, n_k, id_k):
+        cand = blocker_candidates(
+            orig, dirs, d_hat, tri_k, n_k, id_k, th_tri,
+            excl_ids=excl_ids)
+        return scalar_from_slots(cand, eta_tri, th_tri, lam)
+
+    if tri_c.shape[0] == 1:
+        return chunk_prod(tri_c[0], n_c[0], ids[0])
 
     def body(prod, args):
-        tri_chunk, eta_k, th_k, n_k, base = args
-        t, hit = moller_trumbore(orig, dirs, tri_chunk)
-        b = hit & (t > 1e-4) & (t < 1. - 1e-4)
-        if excl_ids is not None:
-            gid = base + jnp.arange(tri_chunk.shape[0],
-                                    dtype=jnp.int32)
-            b &= ~jnp.any(
-                gid[None, None, :] == excl_ids[:, :, None], axis=1)
-        cos_i = jnp.abs(jnp.sum(d_hat[:, None, :] * n_k[None],
-                                axis=-1))
-        t_te, t_tm = slab_transmission(
-            cos_i.astype(jnp.float32), eta_k[None], th_k[None], lam)
-        t_eff = 0.5 * (t_te + t_tm)
-        # typed complex64 one: a bare `1.+0j` literal becomes a c128
-        # constant under x64, and the TPU compiler cannot lower the
-        # resulting c128->f32/c64 converts (Mosaic CHECK failure)
-        one_c = jnp.asarray(1. + 0j, jnp.complex64)
-        t_eff = jnp.where(b, t_eff, one_c)
-        return prod * jnp.prod(t_eff, axis=-1), None
+        return prod * chunk_prod(*args), None
 
-    init = jnp.ones((num_rays,), jnp.complex64)
-    prod, _ = jax.lax.scan(
-        body, init, (tri_c, eta_c, th_c, n_c, bases))
+    init = jnp.ones((orig.shape[0],), jnp.complex64)
+    prod, _ = jax.lax.scan(body, init, (tri_c, n_c, ids))
     return prod
 
 
@@ -195,7 +370,7 @@ def jones_tree_prod(j00, j01, j10, j11):
 
 def transmission_jones_product(orig, dirs, tri, eta_tri, th_tri, lam,
                                e_a, e_b, excl_ids=None,
-                               max_elems=16_000_000):
+                               max_elems=16_000_000, accel=None):
     """Full polarimetric through-blocker transmission: the 2x2 Jones
     matrix cascade of per-blocker TE/TM slab coefficients along the
     segment [orig, orig+dirs], expressed in the caller's transverse
@@ -219,65 +394,38 @@ def transmission_jones_product(orig, dirs, tri, eta_tri, th_tri, lam,
 
     Oblique TE/TM split matters for slanted walls: the
     polarization-averaged scalar of :func:`transmission_product` is
-    exact only at normal incidence."""
-    num_rays = orig.shape[0]
-    num_tri = tri.shape[0]
-    chunk = num_tri if num_rays * num_tri <= max_elems \
-        else max(64, max_elems // max(num_rays, 1))
-    n_chunks = -(-num_tri // chunk)
-    pad = n_chunks * chunk - num_tri
-    tri_p = jnp.concatenate(
-        [tri, jnp.zeros((pad, 3, 3), tri.dtype)], axis=0)
-    tri_c = tri_p.reshape(n_chunks, chunk, 3, 3)
-    eta_p = jnp.concatenate(
-        [jnp.asarray(eta_tri, jnp.complex64),
-         jnp.ones((pad,), jnp.complex64)])
-    eta_c = eta_p.reshape(n_chunks, chunk)
-    th_p = jnp.concatenate(
-        [jnp.asarray(th_tri, jnp.float32),
-         jnp.zeros((pad,), jnp.float32)])
-    th_c = th_p.reshape(n_chunks, chunk)
-    n_p = jnp.concatenate(
-        [tri_normals(tri), jnp.ones((pad, 3), tri.dtype)])
-    n_c = n_p.reshape(n_chunks, chunk, 3)
-    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    d_hat = dirs / jnp.maximum(
-        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-30)
+    exact only at normal incidence.
+
+    Ordering: the dense sweep applies factors in triangle-index
+    order — exact t-ordering would need a per-ray sort whose top_k +
+    gather cost measured 5x the whole evaluation on TPU for small
+    scenes.  The commutator lives only in the cross-polarization
+    terms (measured max ~ -44 dB against a crossing-order oracle on
+    a city scene; see tests/test_rt_refraction.py).  The accel path
+    (large scenes) applies factors in true crossing order via its
+    K-nearest-blocker slots.  With ``accel``, the query runs through
+    the clustered structure (see accel.py)."""
+    if accel is not None:
+        from .accel import transmission_jones_product_accel
+        return transmission_jones_product_accel(
+            orig, dirs, accel, eta_tri, th_tri, lam, e_a, e_b,
+            excl_ids=excl_ids)
+    tri_c, n_c, ids, d_hat = _dense_chunks(orig, dirs, tri, max_elems)
+
+    def chunk_jones(tri_k, n_k, id_k):
+        cand = blocker_candidates(
+            orig, dirs, d_hat, tri_k, n_k, id_k, th_tri,
+            e_a, e_b, excl_ids)
+        return jones_from_slots(cand, eta_tri, th_tri, lam)
+
+    if tri_c.shape[0] == 1:
+        return chunk_jones(tri_c[0], n_c[0], ids[0])
 
     def body(jones, args):
-        tri_chunk, eta_k, th_k, n_k, base = args
-        t, hit = moller_trumbore(orig, dirs, tri_chunk)
-        b = hit & (t > 1e-4) & (t < 1. - 1e-4)       # [R, C]
-        if excl_ids is not None:
-            gid = base + jnp.arange(tri_chunk.shape[0],
-                                    dtype=jnp.int32)
-            b &= ~jnp.any(
-                gid[None, None, :] == excl_ids[:, :, None], axis=1)
-        cos_i = jnp.abs(jnp.sum(d_hat[:, None, :] * n_k[None],
-                                axis=-1))            # [R, C]
-        t_te, t_tm = slab_transmission(
-            cos_i.astype(jnp.float32), eta_k[None], th_k[None], lam)
-        # TE axis of each blocker in the (e_a, e_b) plane:
-        # e_s = d x n; at normal incidence fall back to e_a (TE == TM
-        # there so the angle is irrelevant).
-        # R(psi) J0 R(-psi) with J0 = diag(t_te, t_tm):
-        # [[c^2 te + s^2 tm, c s (te - tm)],
-        #  [c s (te - tm),   s^2 te + c^2 tm]]
-        e_s_raw = jnp.cross(d_hat[:, None, :], n_k[None])  # [R, C, 3]
-        j00, j01, j11 = jones_factor_components(
-            b, t_te, t_tm, e_s_raw, e_a, e_b)
-        c00, c01, c10, c11 = jones_tree_prod(j00, j01, j01, j11)
-        a = jones
-        n00 = c00 * a[:, 0, 0] + c01 * a[:, 1, 0]
-        n01 = c00 * a[:, 0, 1] + c01 * a[:, 1, 1]
-        n10 = c10 * a[:, 0, 0] + c11 * a[:, 1, 0]
-        n11 = c10 * a[:, 0, 1] + c11 * a[:, 1, 1]
-        jones = jnp.stack([jnp.stack([n00, n01], -1),
-                           jnp.stack([n10, n11], -1)], -2)
-        return jones, None
+        c = chunk_jones(*args)                       # [R, 2, 2]
+        return c @ jones, None
 
-    init = jnp.broadcast_to(
-        jnp.eye(2, dtype=jnp.complex64), (num_rays, 2, 2))
-    jones, _ = jax.lax.scan(
-        body, init, (tri_c, eta_c, th_c, n_c, bases))
+    init = jnp.broadcast_to(jnp.eye(2, dtype=jnp.complex64),
+                            (orig.shape[0], 2, 2))
+    jones, _ = jax.lax.scan(body, init, (tri_c, n_c, ids))
     return jones

@@ -101,6 +101,21 @@ def run_jitted(cache_key, fn, *args):
     raw = jitted(*args)
     # one fetch per dtype group
     host_groups = {g: np.asarray(v) for g, v in raw.items()}
+    # The spec is populated at trace time and shared with unpack time;
+    # correctness relies on cache_key fingerprinting every
+    # shape-affecting input.  Fail loudly (not silently misaligned) if
+    # a key omission ever pairs a stale spec with a retraced program.
+    expect = {}
+    for _, kind, shape, group in spec:
+        size = int(np.prod(shape)) if shape else 1
+        expect[group] = expect.get(group, 0) + \
+            (2 * size if kind is True else size)
+    actual = {g: v.size for g, v in host_groups.items()}
+    if expect != actual:
+        raise RuntimeError(
+            "run_jitted: packed output sizes do not match the recorded "
+            f"spec (expected {expect}, got {actual}) — the jit cache "
+            "key is missing a shape-affecting input")
     offsets = {g: 0 for g in host_groups}
     host = {}
     for name, kind, shape, group in spec:

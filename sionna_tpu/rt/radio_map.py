@@ -126,6 +126,13 @@ class RadioMapSolver:
 
     Call: solver(scene, cell_size=(5., 5.), size=None, center=None,
     orientation=(0,0,0), height=1.5, max_depth=2, ...) -> RadioMap.
+
+    Accuracy note: the gain reduction runs fully on device and skips
+    the paths-mode duplicate-path pass, so a specular point landing
+    exactly on an edge shared by two coplanar triangles is counted
+    once per triangle (up to +3 dB on that single path in the
+    affected cell).  This measure-zero case is the only way the map
+    can differ from a paths-based gain computation on the same scene.
     """
 
     def __call__(self, scene, cell_size=(5., 5.), size=None,

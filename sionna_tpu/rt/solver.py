@@ -347,7 +347,13 @@ class PathSolver:
             # on an edge shared by two coplanar triangles (counted
             # once per triangle), which perturbs a single map cell by
             # at most 3 dB on that one path — irrelevant against the
-            # MB-per-stage fetch it would require.
+            # MB-per-stage fetch it would require.  (Also noted in
+            # the RadioMapSolver docstring.)
+            if not results:
+                # every stage disabled or empty: zero gain, correct
+                # shape (np.sum([]) would be a scalar 0.0 and break
+                # the radio map's reshape)
+                return np.zeros((len(rxs), len(txs)), np.float32)
             return np.sum([r["gain"] for r in results], axis=0)
 
         # Concatenate over path dim (host: results are NumPy)
