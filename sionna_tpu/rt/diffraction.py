@@ -328,7 +328,6 @@ def eval_diffraction(scene, tri, wedges, tx_pos, rx_pos, eta_tri,
     (rho_tx + rho_rx), which also satisfies the Keller cone
     condition beta_0 = beta_0'."""
     from ..phy.constants import PI, SPEED_OF_LIGHT
-    from .em import transmission_product
     from .field import combine_paths
     from .geometry import any_blocking_hit, phase_exp, sph_basis
 
@@ -438,8 +437,13 @@ def eval_diffraction(scene, tri, wedges, tx_pos, rx_pos, eta_tri,
            * phase_exp(total_len, lam))
 
     # occlusion of both segments (the wedge faces are excluded:
-    # Q lies exactly on them); with refraction, blockers
-    # attenuate via the slab coefficient instead
+    # Q lies exactly on them); with refraction, blockers instead
+    # apply their per-polarization TE/TM slab coefficients as 2x2
+    # Jones factors in the segment's frame — the same polarimetric
+    # cascade as the specular stage (solver.py), expressed on the
+    # incident spherical basis (e_th_i, e_ph_i) before the
+    # diffraction matrix and on the arrival basis (e_tr, e_pr)
+    # after it
     excl = np.stack([wedges["tri_0"], wedges["tri_n"]], axis=1)
     excl_b = jnp.asarray(np.broadcast_to(
         excl[:, None, None], (num_w, num_tx, num_rx, 2)
@@ -447,13 +451,17 @@ def eval_diffraction(scene, tri, wedges, tx_pos, rx_pos, eta_tri,
     o1 = jnp.broadcast_to(tx_pos[None, :, None],
                           q.shape).reshape(-1, 3)
     if refraction:
-        t1 = transmission_product(
+        from .em import transmission_jones_product
+        jt1 = transmission_jones_product(
             o1, s_i_vec.reshape(-1, 3), tri, eta_tri, th_tri,
-            lam, excl_ids=excl_b, accel=accel)
-        t2 = transmission_product(
+            lam, e_th_i.reshape(-1, 3), e_ph_i.reshape(-1, 3),
+            excl_ids=excl_b, accel=accel)
+        jt2 = transmission_jones_product(
             q.reshape(-1, 3), s_d_vec.reshape(-1, 3), tri,
-            eta_tri, th_tri, lam, excl_ids=excl_b, accel=accel)
-        amp = amp * (t1 * t2).reshape(num_w, num_tx, num_rx)
+            eta_tri, th_tri, lam, e_tr.reshape(-1, 3),
+            e_pr.reshape(-1, 3), excl_ids=excl_b, accel=accel)
+        jones = (jt2.reshape(num_w, num_tx, num_rx, 2, 2) @ jones
+                 @ jt1.reshape(num_w, num_tx, num_rx, 2, 2))
     else:
         blocked1 = any_blocking_hit(
             o1, s_i_vec.reshape(-1, 3), tri,

@@ -10,7 +10,6 @@ import jax
 import jax.numpy as jnp
 
 from ..phy.constants import PI, SPEED_OF_LIGHT
-from .em import transmission_product
 from .field import combine_paths
 from .geometry import any_blocking_hit, phase_exp
 
@@ -189,14 +188,31 @@ def eval_scattering(scene, tri, normals, tx_pos, rx_pos, eta_tri, p,
     d2 = jnp.broadcast_to(
         s2_vec, (num_samples, num_tx, num_rx, 3)).reshape(-1, 3)
     if refraction:
-        t1 = transmission_product(
-            o1, -d1, tri, eta_tri, th_tri, lam,
+        # Full polarimetric through-blocker cascade (same as the
+        # specular and diffraction stages): segment-1 factors in the
+        # spherical basis of the departure direction shat1, segment-2
+        # factors in the arrival basis of u_r = -shat2 — the bases
+        # combine_paths contracts the Jones matrix with.
+        from .em import transmission_jones_product
+        from .geometry import sph_basis
+        shape3 = (num_samples, num_tx, num_rx, 3)
+        e_th1, e_ph1 = sph_basis(shat1)             # [N,T,3]
+        ea1 = jnp.broadcast_to(e_th1[:, :, None], shape3
+                               ).reshape(-1, 3)
+        eb1 = jnp.broadcast_to(e_ph1[:, :, None], shape3
+                               ).reshape(-1, 3)
+        e_th2, e_ph2 = sph_basis(-shat2)            # [N,1,R,3]
+        ea2 = jnp.broadcast_to(e_th2, shape3).reshape(-1, 3)
+        eb2 = jnp.broadcast_to(e_ph2, shape3).reshape(-1, 3)
+        jt1 = transmission_jones_product(
+            o1, -d1, tri, eta_tri, th_tri, lam, ea1, eb1,
             excl_ids=excl_b, accel=accel)
-        t2 = transmission_product(
-            o2, d2, tri, eta_tri, th_tri, lam,
+        jt2 = transmission_jones_product(
+            o2, d2, tri, eta_tri, th_tri, lam, ea2, eb2,
             excl_ids=excl_b, accel=accel)
-        amp = amp * (t1 * t2).reshape(
-            num_samples, num_tx, num_rx)
+        jones = (jt2.reshape(num_samples, num_tx, num_rx, 2, 2)
+                 @ jones
+                 @ jt1.reshape(num_samples, num_tx, num_rx, 2, 2))
     else:
         blocked1 = any_blocking_hit(o1, -d1, tri,
                                     excl_ids=excl_b, accel=accel)

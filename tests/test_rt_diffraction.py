@@ -356,3 +356,84 @@ def test_multi_tx_rx_with_all_interactions():
                                rtol=1e-3)
     np.testing.assert_allclose(strongest[0, 1], strongest[1, 0],
                                rtol=1e-3)
+
+
+def test_diffracted_path_oblique_transmission_te_tm():
+    """Polarimetric through-blocker transmission on a DIFFRACTED
+    path: a concrete wall crosses the incident segment at ~63 deg
+    from its normal, so a V-polarized link (E in the x-z propagation
+    plane = TM for the x-normal wall) must be attenuated by t_TM and
+    an H-polarized link (E along y = TE) by t_TE — not by the
+    polarization-averaged scalar.  Oracle: the ITU slab coefficients
+    at the exact crossing angle, measured as the amplitude ratio
+    against the identical blocker-free scene (round-4 closure of the
+    PARITY.md 'diffracted/scattered transmission is polarization-
+    averaged' gap; upstream applies the full Jones cascade on every
+    path segment)."""
+    freq = 3e9
+    c = 299792458.
+    lam = c / freq
+    tx = np.array([-10., 0., 0.])
+    rx = np.array([30., 0., 3.])
+    q = np.array([0., 0., 20.])           # top-edge diffraction point
+    tau_want = (np.linalg.norm(q - tx) + np.linalg.norm(rx - q)) / c
+
+    def build(with_blocker, pol):
+        tris = _quad([0., -200., 0.], [0., 200., 0.],
+                     [0., 200., 20.], [0., -200., 20.])
+        mats = ["itu_metal"] * 2
+        if with_blocker:
+            tris = tris + _quad([-5., -50., 2.], [-5., 50., 2.],
+                                [-5., 50., 40.], [-5., -50., 40.])
+            mats = mats + ["itu_concrete"] * 2
+        sc = _iso_scene(tris, mats, frequency=freq)
+        sc.tx_array = PlanarArray(1, 1, pattern="iso",
+                                  polarization=pol)
+        sc.rx_array = PlanarArray(1, 1, pattern="iso",
+                                  polarization=pol)
+        sc.add(Transmitter("tx", tx.tolist()))
+        sc.add(Receiver("rx", rx.tolist()))
+        return sc
+
+    def top_edge_amp(sc):
+        p = PathSolver()(sc, max_depth=0, los=False,
+                         specular_reflection=False, diffraction=True,
+                         refraction=True)
+        tau = np.asarray(p.tau)[0, 0]
+        valid = np.asarray(p.valid)[0, 0]
+        tau = np.where(valid, tau, np.inf)
+        idx = int(np.argmin(np.abs(tau - tau_want)))
+        assert abs(tau[idx] - tau_want) * c < 1e-3
+        return np.asarray(p.a)[0, 0, 0, 0, idx]
+
+    ratios = {}
+    for pol in ("V", "H"):
+        a_blk = top_edge_amp(build(True, pol))
+        a_free = top_edge_amp(build(False, pol))
+        ratios[pol] = abs(a_blk) / abs(a_free)
+
+    # oracle: slab coefficients at the actual crossing angle of the
+    # incident segment with the x-normal wall
+    d1 = q - tx
+    cos_i = abs(d1[0]) / np.linalg.norm(d1)
+    sc_m = build(True, "V")
+    mat = [m for m in sc_m.triangle_materials
+           if "concrete" in m.name][0]
+    eta = mat.complex_relative_permittivity(freq)
+    sin2 = 1. - cos_i ** 2
+    root = np.sqrt(eta - sin2)
+    r_te = (cos_i - root) / (cos_i + root)
+    r_tm = (eta * cos_i - root) / (eta * cos_i + root)
+    qq = 2. * np.pi * mat.thickness / lam * root
+    corr = np.exp(1j * 2. * np.pi * mat.thickness / lam * cos_i)
+
+    def slab(r):
+        e1 = np.exp(-1j * qq)
+        return (1. - r ** 2) * e1 / (1. - r ** 2 * e1 * e1) * corr
+
+    t_te, t_tm = slab(r_te), slab(r_tm)
+    # the TE/TM split is material at 63 deg — the old polarization-
+    # averaged scalar could not reproduce both links
+    assert abs(abs(t_te) - abs(t_tm)) / abs(t_te) > 0.05
+    np.testing.assert_allclose(ratios["V"], np.abs(t_tm), rtol=2e-3)
+    np.testing.assert_allclose(ratios["H"], np.abs(t_te), rtol=2e-3)
