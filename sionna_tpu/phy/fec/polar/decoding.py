@@ -820,8 +820,8 @@ class Polar5GDecoder(Block):
     """
 
     def __init__(self, enc_polar, dec_type="SC", list_size=8,
-                 num_iter=20, return_crc_status=False, precision=None,
-                 **kwargs):
+                 num_iter=20, return_crc_status=False, use_spc=True,
+                 precision=None, **kwargs):
         super().__init__(precision=precision, **kwargs)
         if not isinstance(enc_polar, Polar5GEncoder):
             raise TypeError("enc_polar must be Polar5GEncoder.")
@@ -842,10 +842,18 @@ class Polar5GDecoder(Block):
             self._decoder = PolarSCDecoder(frozen_pos, n_polar,
                                            precision=precision)
         elif dec_type in ("SCL", "hybSCL"):
+            # use_spc=True (default): SSCL-SPC single-parity-check
+            # node pruning.  The SPC fork rule is NODE-OPTIMAL
+            # (better-or-equal to the reference's greedy per-bit
+            # schedule, see PolarSCLDecoder) and ~1.5x faster; BLER
+            # equivalence is quantified in
+            # tests/test_fec_polar.py::test_scl_spc_bler_delta.
+            # Pass use_spc=False for the bit-exact reference
+            # schedule.
             self._decoder = PolarSCLDecoder(
                 frozen_pos, n_polar, list_size=list_size,
                 crc_degree=enc_polar.enc_crc.crc_degree,
-                ind_iil_inv=ind_iil_inv,
+                ind_iil_inv=ind_iil_inv, use_spc=use_spc,
                 return_crc_status=True, precision=precision)
         else:
             self._decoder = PolarBPDecoder(frozen_pos, n_polar,

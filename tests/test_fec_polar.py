@@ -287,3 +287,44 @@ def test_scl_use_spc_decodes_correctly():
         u_hat = np.asarray(dec(jnp.asarray(-llr, jnp.float32)))
         bler = np.mean(np.any(u_hat != u, axis=-1))
         assert bler < 0.1, (use_spc, bler)
+
+
+@pytest.mark.slow   # ~2k-block Monte-Carlo per variant
+def test_scl_spc_bler_delta():
+    """Quantifies the BLER delta of the (default) SSCL-SPC pruning
+    vs the bit-exact per-bit schedule on the CRC-aided 5G decoder:
+    node-optimal forking must be statistically better-or-equal.
+    This is the certification behind use_spc=True being the
+    Polar5GDecoder default."""
+    import jax
+    import jax.numpy as jnp
+    from sionna_tpu.phy import BinarySource, Mapper, Demapper, AWGN
+    from sionna_tpu.phy.fec.polar import Polar5GEncoder, Polar5GDecoder
+    from sionna_tpu.phy.utils import ebnodb2no
+
+    k, n, ebno_db, n_blocks = 120, 256, 2.0, 4096
+    enc = Polar5GEncoder(k, n)
+    src = BinarySource()
+    mapper, demapper, awgn = Mapper("qam", 2), Demapper("app", "qam",
+                                                        2), AWGN()
+    no = ebnodb2no(ebno_db, 2, k / n)
+    blers = {}
+    for use_spc in (False, True):
+        dec = Polar5GDecoder(enc, dec_type="SCL", list_size=8,
+                             use_spc=use_spc)
+
+        @jax.jit
+        def run(key, dec=dec):
+            k1, k2 = jax.random.split(key)
+            u = src([n_blocks, k], key=k1)
+            y = awgn(mapper(enc(u)), no, key=k2)
+            u_hat = dec(demapper(y, no))
+            return jnp.sum(jnp.any(u != u_hat, axis=-1))
+
+        errs = int(run(jax.random.PRNGKey(5)))
+        blers[use_spc] = errs / n_blocks
+    # both variants see identical noise (same key) -> paired
+    # comparison: SPC may not be materially worse.  Allow 20% slack
+    # on the paired estimate for the rare tie-breaking differences.
+    assert blers[False] > 0, "SNR point carries no information"
+    assert blers[True] <= blers[False] * 1.2 + 2. / n_blocks, blers
