@@ -80,7 +80,11 @@ class CDL(ChannelModel):
 
     @property
     def k_factor(self):
-        return self._k_factor[0, 0, 0] if self._los else None
+        """K-factor (linear) of the zero-delay path (reference
+        cdl.py:345 — specular over diffuse power of path 0)."""
+        if not self._los:
+            return None
+        return self._k_factor[0, 0, 0] / self._powers[0, 0, 0, 0]
 
     @property
     def delays(self):
@@ -88,7 +92,16 @@ class CDL(ChannelModel):
 
     @property
     def powers(self):
-        return self._powers[0, 0, 0]
+        """Path powers in linear scale; for LoS models path 0
+        combines the specular and diffuse power and the total is
+        renormalized by K+1 (reference cdl.py:358)."""
+        p = np.asarray(self._powers[0, 0, 0])
+        if self._los:
+            k = np.asarray(self._k_factor[0, 0, 0])
+            p = p.copy()
+            p[0] = p[0] + k
+            p = p / (k + 1.)
+        return p
 
     @property
     def delay_spread(self):

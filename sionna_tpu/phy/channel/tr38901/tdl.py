@@ -94,10 +94,21 @@ class TDL(ChannelModel):
 
     @property
     def delays(self):
-        return self._delays
+        """Path delays [s] (reference tdl.py:336 — scaled by the
+        delay spread, or ns -> s for fixed-delay models)."""
+        if self._scale_delays:
+            return self._delays * self._delay_spread
+        return self._delays * 1e-9
 
     @property
     def mean_powers(self):
+        """Path powers in linear scale; for LoS models the first tap
+        combines the specular and diffuse power (reference
+        tdl.py:344)."""
+        if self._los:
+            return np.concatenate(
+                [self._mean_powers[:1] + self._los_power,
+                 self._mean_powers[1:]], axis=0)
         return self._mean_powers
 
     @property

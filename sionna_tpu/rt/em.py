@@ -67,17 +67,26 @@ def slab_transmission(cos_i, eta, d_th, lam):
 
 
 # ----------------------------------------------------------------------
-# Blocker-slot machinery: the through-blocker transmission cascade is
-# evaluated in two phases.  Phase 1 (the hot loop over ALL triangles)
-# does only cheap geometry — Moller-Trumbore plus a top-k merge that
-# keeps each segment's K nearest-t blockers in crossing order.  Phase 2
-# runs the expensive complex slab transcendentals and the ordered 2x2
-# Jones cascade on just those K slots.  Compared with evaluating slab
-# coefficients for every (ray, triangle) pair this cuts the
-# transcendental + matrix-cascade work by ~C/K (C = triangles per scan
-# step), and makes the factor order the true along-ray crossing order
-# regardless of triangle visit order — so the dense and clustered
-# (accel.py) paths produce identical results by construction.
+# Blocker-candidate machinery.  `blocker_candidates` computes, fully
+# SoA, the per-(ray, triangle) geometry fields of a blocking crossing
+# (hit parameter t, incidence cosine, TE-axis rotation (c, s), and
+# original triangle id; non-blocking entries carry t = +inf /
+# eid = -1).  Two consumers:
+#
+# * The DENSE sweep evaluates slab/Jones factors directly on the
+#   candidate fields of each chunk, in triangle-index order — exact
+#   per-ray t-sorting costs a top_k + 4 minor-dim gathers per ray,
+#   measured at 5x the entire evaluation on TPU for small scenes,
+#   and the ordering commutator lives only in cross-pol terms
+#   (~ -44 dB; see transmission_jones_product).
+#
+# * The CLUSTERED path (accel.py) merges candidates into each
+#   segment's K nearest-t blocker SLOTS via lax.top_k inside the
+#   cluster loop, then runs the expensive complex slab
+#   transcendentals + the ordered 2x2 Jones cascade on just those K
+#   slots, in true along-ray crossing order.  With 1024 triangles
+#   per visited group this cuts the transcendental/matrix work ~64x
+#   and pays for the merge.
 #
 # A segment crossing more than K blockers keeps the K nearest; each
 # dropped slab factor has |t| < 1, so the kept product only

@@ -125,10 +125,14 @@ def downlink_fair_power_control(pathloss, interference_plus_noise,
         regula_falsi=False, precision=precision, **kwargs)
 
     p_star = get_p_star_mu(mu_inv_star)
-    # Utility per user: r * log(1 + p q)
-    utility = num_allocated_re * jnp.log(1. + p_star * cq)
     # Total power per user across its resources
     tx_power = p_star * num_allocated_re
+    # Utility per user: r * log(1 + P q) where P is the user's TOTAL
+    # power — matching the reference convention
+    # (power_control.py:539-546 multiplies by num_allocated_re before
+    # the utility log), not the per-resource p of the docstring's
+    # optimization problem.
+    utility = num_allocated_re * jnp.log(1. + tx_power * cq)
 
     if return_lagrangian:
         return tx_power, utility, mu_inv_star

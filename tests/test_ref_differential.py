@@ -48,6 +48,9 @@ FAST = [
     "channel/cir_conversions",
     "nr/pusch_dmrs",
     "sys/eesm",
+    "tr38901/scenario_pathloss_lsp",
+    "sys/pf_scheduler",
+    "sys/fair_power_control",
 ]
 
 SLOW = [
@@ -62,6 +65,12 @@ SLOW = [
     "nr/tb_encoder",
     "sys/phy_abstraction",
     "e2e/coded_awgn_ber",
+    "tr38901/step11_injected_rays",
+    "tr38901/tdl_powers_doppler",
+    "tr38901/cdl_structure_powers",
+    "nr/pusch_receiver_e2e",
+    "ofdm/rzf_precoded_channel_post_eq_sinr",
+    "e2e/cdl_mimo_ofdm_ber",
 ]
 
 

@@ -287,8 +287,12 @@ def polar_enc_dec():
     for dec_type, ls in (("SC", 8), ("SCL", 8), ("SCL", 2)):
         ref = ref_p.Polar5GDecoder(
             renc, dec_type=dec_type, list_size=ls)(llr).numpy()
+        # use_spc=False pins the bit-exact per-bit reference schedule
+        # (the default SSCL-SPC pruning is node-optimal, i.e.
+        # better-or-equal but not bit-identical on marginal blocks)
+        kw = {} if dec_type == "SC" else {"use_spc": False}
         ours = np.asarray(tpu_p.Polar5GDecoder(
-            tenc, dec_type=dec_type, list_size=ls)(llr))
+            tenc, dec_type=dec_type, list_size=ls, **kw)(llr))
         worst = max(worst, maxerr(ref, ours))
     return {"max_err": worst}
 
@@ -760,6 +764,285 @@ def sys_phy_abstraction():
 
 
 # ---------------------------------------------------------------------------
+# tr38901: scenarios / LSP moments / TDL / CDL / step-11 coefficients
+# ---------------------------------------------------------------------------
+
+def _tr38901_arrays(ref_mod, tpu_mod, fc):
+    """Matched (bs_array, ut_array) pairs in both frameworks."""
+    kw = dict(num_rows_per_panel=2, num_cols_per_panel=2,
+              polarization="dual", polarization_type="VH",
+              antenna_pattern="38.901", carrier_frequency=fc,
+              precision="double")
+    ut_kw = dict(num_rows_per_panel=1, num_cols_per_panel=1,
+                 polarization="dual", polarization_type="VH",
+                 antenna_pattern="38.901", carrier_frequency=fc,
+                 precision="double")
+    return (ref_mod.PanelArray(**kw), ref_mod.PanelArray(**ut_kw),
+            tpu_mod.PanelArray(**kw), tpu_mod.PanelArray(**ut_kw))
+
+
+def _tr38901_topology(seed, batch=2, nb_ut=4, nb_bs=2, scenario="uma"):
+    """Deterministic NumPy topology shared by both frameworks."""
+    g = rng(seed)
+    if scenario == "rma":
+        xy_lo, xy_hi, h_bs = 300., 3000., 35.
+    else:
+        xy_lo, xy_hi, h_bs = 30., 300., 25.
+    ut_loc = np.stack([g.uniform(xy_lo, xy_hi, (batch, nb_ut)),
+                       g.uniform(xy_lo, xy_hi, (batch, nb_ut)),
+                       np.full((batch, nb_ut), 1.5)], axis=-1)
+    bs_loc = np.stack([g.uniform(0., 30., (batch, nb_bs)),
+                       g.uniform(0., 30., (batch, nb_bs)),
+                       np.full((batch, nb_bs), h_bs)], axis=-1)
+    ut_orient = g.uniform(0, 2 * np.pi, (batch, nb_ut, 3))
+    bs_orient = g.uniform(0, 2 * np.pi, (batch, nb_bs, 3))
+    ut_vel = g.uniform(0., 5., (batch, nb_ut, 3))
+    in_state = np.zeros((batch, nb_ut), bool)      # outdoor: no O2I draw
+    return dict(ut_loc=ut_loc, bs_loc=bs_loc, ut_orientations=ut_orient,
+                bs_orientations=bs_orient, ut_velocities=ut_vel,
+                in_state=in_state)
+
+
+@check("tr38901/scenario_pathloss_lsp", tol=5e-3,
+       anchor="src/sionna/phy/channel/tr38901/{uma,umi,rma}_scenario.py "
+              "(pathloss), system_level_scenario.py:310-365 + "
+              "lsp.py:187-292 (LSP log-moments)")
+def tr38901_scenario_pathloss_lsp():
+    """Deterministic scenario state on a fixed topology with forced
+    LoS: basic pathloss [dB] and the 7 LSP log-moments (mean/std)
+    must match the reference's table plumbing exactly.
+
+    Upstream-bug note: in this reference snapshot the public
+    ``SystemLevelScenario.distance_3d`` property returns
+    ``self._distance_2d`` (system_level_scenario.py:237-242) while
+    the correctly computed 3D distance sits unused in
+    ``self._distance_3d`` (:693) — the reference's own
+    test_3gpp_channel_scenario.py::test_dist asserts the true 3D
+    distance, so this is a defect, not a convention.  sionna_tpu
+    implements TR 38.901 (pathloss uses d_3D), so the check patches
+    the reference property to its own ``_distance_3d`` for the
+    comparison."""
+    import sionna.phy.channel.tr38901 as ref_t
+    import sionna_tpu.phy.channel.tr38901 as tpu_t
+    import sionna.phy.channel.tr38901.system_level_scenario as ref_sls
+    fc = 3.5e9
+    ra_bs, ra_ut, ta_bs, ta_ut = _tr38901_arrays(ref_t, tpu_t, fc)
+    from sionna.phy.channel.tr38901.uma_scenario import UMaScenario
+    from sionna.phy.channel.tr38901.umi_scenario import UMiScenario
+    from sionna.phy.channel.tr38901.rma_scenario import RMaScenario
+
+    worst = 0.0
+    details = {}
+    cases = [
+        ("uma", lambda: UMaScenario(fc, "low", ra_ut, ra_bs, "uplink",
+                                    precision="double"),
+         lambda: tpu_t.UMaScenario(fc, "low", ta_ut, ta_bs, "uplink",
+                                   precision="double")),
+        ("umi", lambda: UMiScenario(fc, "high", ra_ut, ra_bs,
+                                    "downlink", precision="double"),
+         lambda: tpu_t.UMiScenario(fc, "high", ta_ut, ta_bs,
+                                   "downlink", precision="double")),
+        ("rma", lambda: RMaScenario(fc, ra_ut, ra_bs, "downlink",
+                                    precision="double"),
+         lambda: tpu_t.RMaScenario(fc, ta_ut, ta_bs, "downlink",
+                                   precision="double")),
+    ]
+    orig_d3d = ref_sls.SystemLevelScenario.distance_3d
+    ref_sls.SystemLevelScenario.distance_3d = property(
+        lambda self: self._distance_3d)   # upstream-bug patch (above)
+    try:
+        _scenario_pathloss_lsp_body(cases, details)
+    finally:
+        ref_sls.SystemLevelScenario.distance_3d = orig_d3d
+    worst = max(max(v.values()) for v in details.values())
+    return {"max_err": worst, "per_scenario": details}
+
+
+def _scenario_pathloss_lsp_body(cases, details):
+    for name, mk_ref, mk_tpu in cases:
+        topo = _tr38901_topology(37, scenario=name)
+        r_sc = mk_ref()
+        t_sc = mk_tpu()
+        for los in (True, False):     # scalar forced LoS state
+            r_sc.set_topology(los=los, **topo)
+            t_sc.set_topology(los=los, **topo)
+            e_pl = maxerr(r_sc.basic_pathloss.numpy(),
+                          np.asarray(t_sc.basic_pathloss))
+            e_mu = maxerr(r_sc.lsp_log_mean.numpy(),
+                          np.asarray(t_sc.lsp_log_mean))
+            e_sg = maxerr(r_sc.lsp_log_std.numpy(),
+                          np.asarray(t_sc.lsp_log_std))
+            details[f"{name}_los{los}"] = {
+                "pathloss": e_pl, "lsp_log_mean": e_mu,
+                "lsp_log_std": e_sg}
+
+
+@check("tr38901/step11_injected_rays", tol=1e-6,
+       anchor="src/sionna/phy/channel/tr38901/channel_coefficients.py"
+              ":978 (_step_11) on identical rays + random phases")
+def tr38901_step11_injected_rays():
+    """Steps 10-11 on IDENTICAL inputs: random rays/topology built in
+    NumPy, the reference's sampled step-10 phases re-injected into the
+    sionna_tpu generator; the resulting h and delays must agree to
+    double-precision accuracy."""
+    import sionna.phy.channel.tr38901 as ref_t
+    import sionna_tpu.phy.channel.tr38901 as tpu_t
+    from sionna.phy.channel.tr38901.channel_coefficients import (
+        Topology as RefTopo, ChannelCoefficientsGenerator as RefCCG)
+    from sionna_tpu.phy.channel.tr38901.channel_coefficients import (
+        Topology as TpuTopo, ChannelCoefficientsGenerator as TpuCCG)
+
+    fc = 3.5e9
+    ra_bs, ra_ut, ta_bs, ta_ut = _tr38901_arrays(ref_t, tpu_t, fc)
+    g = rng(11)
+    b, nb_bs, nb_ut, cl, rays_pc, num_t, fs = 2, 2, 3, 5, 20, 6, 30.72e6
+
+    delays = np.sort(g.uniform(0., 2e-6, (b, nb_bs, nb_ut, cl)), -1)
+    powers = g.uniform(0.1, 1., (b, nb_bs, nb_ut, cl))
+    powers /= powers.sum(-1, keepdims=True)
+    ang = lambda lo, hi: g.uniform(lo, hi, (b, nb_bs, nb_ut, cl,
+                                            rays_pc))
+    rays_kw = dict(delays=delays, powers=powers,
+                   aoa=ang(-np.pi, np.pi), aod=ang(-np.pi, np.pi),
+                   zoa=ang(0.1, np.pi - 0.1), zod=ang(0.1, np.pi - 0.1),
+                   xpr=10 ** (g.uniform(3., 10., (b, nb_bs, nb_ut, cl,
+                                                  rays_pc)) / 10.))
+    topo_kw = dict(
+        velocities=g.uniform(0., 5., (b, nb_ut, 3)),
+        moving_end="rx",
+        los_aoa=g.uniform(-np.pi, np.pi, (b, nb_bs, nb_ut)),
+        los_aod=g.uniform(-np.pi, np.pi, (b, nb_bs, nb_ut)),
+        los_zoa=g.uniform(0.1, np.pi - 0.1, (b, nb_bs, nb_ut)),
+        los_zod=g.uniform(0.1, np.pi - 0.1, (b, nb_bs, nb_ut)),
+        los=g.random((b, nb_bs, nb_ut)) < 0.5,
+        distance_3d=g.uniform(10., 500., (b, nb_bs, nb_ut)),
+        tx_orientations=g.uniform(0, 2 * np.pi, (b, nb_bs, 3)),
+        rx_orientations=g.uniform(0, 2 * np.pi, (b, nb_ut, 3)))
+    k_factor = 10 ** (g.uniform(0., 10., (b, nb_bs, nb_ut)) / 10.)
+    c_ds = np.full((b, nb_bs, nb_ut), 3.91e-9)
+
+    import tensorflow as tf
+    worst = 0.0
+    for subcl in (True, False):
+        r_ccg = RefCCG(fc, tx_array=ra_bs, rx_array=ra_ut,
+                       subclustering=subcl, precision="double")
+        t_ccg = TpuCCG(fc, tx_array=ta_bs, rx_array=ta_ut,
+                       subclustering=subcl, precision="double")
+        r_rays = ref_t.Rays(**{k: tf.constant(v, tf.float64)
+                               for k, v in rays_kw.items()})
+        t_rays = tpu_t.Rays(**rays_kw)
+        r_topo = RefTopo(**{k: (tf.constant(v, tf.float64)
+                                if isinstance(v, np.ndarray)
+                                and v.dtype != bool else v)
+                            for k, v in topo_kw.items()})
+        t_topo = TpuTopo(**topo_kw)
+        h_ref, d_ref, phi, t_ref = r_ccg(
+            num_t, fs, tf.constant(k_factor, tf.float64), r_rays,
+            r_topo, tf.constant(c_ds, tf.float64), debug=True)
+        sample_times = np.arange(num_t, dtype=np.float64) / fs
+        h_tpu, d_tpu = t_ccg._step_11(
+            np.asarray(phi.numpy(), np.float64), t_topo, k_factor,
+            t_rays, sample_times, c_ds)
+        worst = max(worst, maxerr(h_ref.numpy(), np.asarray(h_tpu)))
+        worst = max(worst, maxerr(d_ref.numpy(), np.asarray(d_tpu))
+                    / 1e-6)     # delays in us scale
+    return {"max_err": worst}
+
+
+@check("tr38901/tdl_powers_doppler", tol=0.1,
+       anchor="src/sionna/phy/channel/tr38901/tdl.py:18 (TDL models: "
+              "deterministic profile exact; tap powers + Doppler "
+              "autocorrelation statistical)")
+def tr38901_tdl():
+    """TDL-A/B/C at matched configs: delays / mean powers / K-factor
+    are deterministic table lookups (compared at 1e-9); per-tap MC
+    mean powers and the lag-domain Doppler autocorrelation of both
+    frameworks' generators are compared statistically."""
+    import sionna.phy.channel.tr38901 as ref_t
+    import sionna_tpu.phy.channel.tr38901 as tpu_t
+    fc, ds = 3.5e9, 100e-9
+    worst = 0.0
+    details = {}
+    for model in ("A", "B", "C"):
+        r = ref_t.TDL(model, ds, fc, min_speed=15., max_speed=15.,
+                      precision="double")
+        t = tpu_t.TDL(model, ds, fc, min_speed=15., max_speed=15.,
+                      precision="double")
+        det = max(maxerr(r.delays.numpy(), np.asarray(t.delays)) / ds,
+                  maxerr(r.mean_powers.numpy(),
+                         np.asarray(t.mean_powers)))
+        if det > 1e-9:
+            return {"max_err": 1.0,
+                    "note": f"deterministic profile mismatch ({model})"
+                            f": {det}"}
+        batch, num_t, fs = 2048, 64, 1e4
+        ra, _ = r(batch, num_t, fs)
+        ra = ra.numpy()[:, 0, 0, 0, 0, :, :]      # [b, taps, T]
+        ta, _ = t(batch, num_t, fs)
+        ta = np.asarray(ta)[:, 0, 0, 0, 0, :, :]
+        # per-tap mean power (MC, rel err ~1/sqrt(batch))
+        pr = np.mean(np.abs(ra) ** 2, axis=(0, 2))
+        pt = np.mean(np.abs(ta) ** 2, axis=(0, 2))
+        e_pow = float(np.max(np.abs(pt - pr) / np.maximum(pr, 1e-12)))
+        # Doppler autocorrelation at lags 0..L (normalized)
+        L = 32
+        def acorr(a):
+            num = np.mean(a[..., :num_t - L] *
+                          np.conj(a[..., :num_t - L]), axis=(0, 2))
+            out = []
+            for lag in range(L):
+                c = np.mean(a[..., lag:lag + num_t - L]
+                            * np.conj(a[..., :num_t - L]), axis=(0, 2))
+                out.append(c / num)
+            return np.stack(out, -1)               # [taps, L]
+        e_dop = float(np.max(np.abs(acorr(ra) - acorr(ta))))
+        details[model] = {"tap_power_rel": e_pow, "doppler_acorr": e_dop}
+        worst = max(worst, e_pow, e_dop)
+    return {"max_err": worst, "per_model": details}
+
+
+@check("tr38901/cdl_structure_powers", tol=0.08,
+       anchor="src/sionna/phy/channel/tr38901/cdl.py:22 (CDL models: "
+              "deterministic cluster profile exact; per-cluster MC "
+              "powers statistical)")
+def tr38901_cdl():
+    """CDL-B/D at matched configs: cluster delays/powers/K-factor are
+    deterministic (1e-9); per-cluster MC mean powers (summed over
+    antennas, averaged over batch) compared statistically."""
+    import sionna.phy.channel.tr38901 as ref_t
+    import sionna_tpu.phy.channel.tr38901 as tpu_t
+    fc, ds = 3.5e9, 100e-9
+    ra_bs, ra_ut, ta_bs, ta_ut = _tr38901_arrays(ref_t, tpu_t, fc)
+    worst = 0.0
+    details = {}
+    for model in ("B", "D"):
+        r = ref_t.CDL(model, ds, fc, ra_ut, ra_bs, "uplink",
+                      min_speed=3., max_speed=3., precision="double")
+        t = tpu_t.CDL(model, ds, fc, ta_ut, ta_bs, "uplink",
+                      min_speed=3., max_speed=3., precision="double")
+        det = max(maxerr(r.delays.numpy(), np.asarray(t.delays)) / ds,
+                  maxerr(r.powers.numpy(), np.asarray(t.powers)),
+                  (maxerr(r.k_factor.numpy(), np.asarray(t.k_factor))
+                   if r.los else 0.0))
+        if det > 1e-9:
+            return {"max_err": 1.0,
+                    "note": f"deterministic profile mismatch ({model})"
+                            f": {det}"}
+        batch, num_t, fs = 256, 4, 30.72e6
+        ra, _ = r(batch, num_t, fs)
+        ra = ra.numpy()
+        ta, _ = t(batch, num_t, fs)
+        ta = np.asarray(ta)
+        # per-cluster power averaged over batch/antennas/time
+        pr = np.mean(np.abs(ra) ** 2, axis=(0, 1, 2, 3, 4, 6))
+        pt = np.mean(np.abs(ta) ** 2, axis=(0, 1, 2, 3, 4, 6))
+        e_pow = float(np.max(np.abs(pt - pr) / np.max(pr)))
+        details[model] = {"cluster_power_rel": e_pow}
+        worst = max(worst, e_pow)
+    return {"max_err": worst, "per_model": details}
+
+
+# ---------------------------------------------------------------------------
 # nr: 5G NR transport-block chain + DMRS
 # ---------------------------------------------------------------------------
 
@@ -808,6 +1091,216 @@ def nr_pusch_dmrs():
 
 
 # ---------------------------------------------------------------------------
+# nr/rx + ofdm precoding/SINR + sys scheduling/power control
+# ---------------------------------------------------------------------------
+
+@check("nr/pusch_receiver_e2e", tol=5e-3,
+       anchor="src/sionna/phy/nr/pusch_receiver.py:224 "
+              "(PUSCHReceiver: estimator->detector->TBDecoder on "
+              "identical y)")
+def nr_pusch_receiver_e2e():
+    """Full PUSCH receive chain on IDENTICAL y/h/no: identical
+    explicit bits through both transmitters (waveform equality
+    re-asserted), a NumPy frequency-selective 2-rx-antenna channel +
+    noise, then both receivers in perfect-CSI and LS-estimation
+    modes.  Metrics: detector+demapper LLR max-err (perfect CSI,
+    deterministic), decoded-bit BER gap, and TB-CRC agreement."""
+    import tensorflow as tf
+    import sionna.phy.nr as ref_nr
+    import sionna_tpu.phy.nr as tpu_nr
+
+    r_cfg = ref_nr.PUSCHConfig()
+    t_cfg = tpu_nr.PUSCHConfig()
+    r_tx = ref_nr.PUSCHTransmitter(r_cfg, return_bits=False)
+    t_tx = tpu_nr.PUSCHTransmitter(t_cfg, return_bits=False)
+    g = rng(77)
+    batch = 4
+    bits = g.integers(0, 2, (batch, 1, r_tx._tb_size)).astype(
+        np.float32)
+    x_ref = r_tx(bits).numpy()       # [b, num_tx, num_ant, sym, fft]
+    x_tpu = np.asarray(t_tx(bits))
+    worst = maxerr(x_ref, x_tpu)     # TX waveform equality
+
+    b_sh = x_ref.shape
+    nsym, fft = b_sh[-2], b_sh[-1]
+    num_rx_ant, n_taps = 2, 4
+    taps = (g.standard_normal((batch, num_rx_ant, 1, n_taps))
+            + 1j * g.standard_normal((batch, num_rx_ant, 1, n_taps))
+            ) / np.sqrt(2. * n_taps)
+    f = np.arange(fft)
+    phase = np.exp(-2j * np.pi * f[None, :]
+                   * np.arange(n_taps)[:, None] / fft)  # [L, fft]
+    h_f = np.einsum("brtl,lf->brtf", taps, phase)  # [b, rxa, txa, fft]
+    h = np.broadcast_to(
+        h_f[:, None, :, None, :, None, :],
+        (batch, 1, num_rx_ant, 1, 1, nsym, fft)).astype(np.complex64)
+    no = np.float32(0.01)
+    noise = (g.standard_normal((batch, 1, num_rx_ant, nsym, fft))
+             + 1j * g.standard_normal(
+                 (batch, 1, num_rx_ant, nsym, fft))
+             ) * np.sqrt(no / 2.)
+    y = (np.einsum("badsf,bdsf->basf",
+                   h[:, 0, :, 0], x_ref[:, 0])[:, None]
+         + noise).astype(np.complex64)
+
+    details = {}
+    for mode in ("perfect", "ls"):
+        est = "perfect" if mode == "perfect" else None
+        r_rx = ref_nr.PUSCHReceiver(r_tx, channel_estimator=est,
+                                    return_tb_crc_status=True)
+        t_rx = tpu_nr.PUSCHReceiver(t_tx, channel_estimator=est,
+                                    return_tb_crc_status=True)
+        if mode == "perfect":
+            rb, rcrc = r_rx(y, no, tf.constant(h))
+            tb, tcrc = t_rx(y, no, h)
+            # deterministic LLR differential through the detector
+            # chain (estimator skipped, identical inputs)
+            r_llr = r_rx._layer_demapper(r_rx._mimo_detector(
+                tf.constant(y), tf.constant(h),
+                tf.constant(0., tf.float32),
+                tf.constant(no))).numpy()
+            t_llr = np.asarray(t_rx._layer_demapper(
+                t_rx._mimo_detector(y, h, np.float32(0.), no)))
+            scale = max(1.0, float(np.max(np.abs(r_llr))))
+            details["llr_relerr"] = maxerr(r_llr, t_llr) / scale
+            worst = max(worst, details["llr_relerr"])
+        else:
+            rb, rcrc = r_rx(y, no)
+            tb, tcrc = t_rx(y, no)
+        rb = rb.numpy()
+        tb = np.asarray(tb)
+        ber_r = float(np.mean(rb != bits))
+        ber_t = float(np.mean(tb != bits))
+        crc_match = float(np.mean(
+            rcrc.numpy().astype(bool) == np.asarray(tcrc).astype(
+                bool)))
+        details[mode] = {"ber_ref": ber_r, "ber_tpu": ber_t,
+                         "crc_match": crc_match}
+        # at no=0.01 the link is error-free in both frameworks: any
+        # BER gap or CRC disagreement is a real defect
+        worst = max(worst, abs(ber_r - ber_t), 1. - crc_match)
+
+    # noisy operating point (perfect CSI): TB error-rate parity where
+    # both sides actually fail some blocks — not an information-free
+    # zero-error comparison
+    no_hi = np.float32(0.35)
+    noise_hi = (g.standard_normal(y.shape)
+                + 1j * g.standard_normal(y.shape)) * np.sqrt(
+                    no_hi / 2.)
+    y_hi = (y - noise + noise_hi).astype(np.complex64)
+    r_rx = ref_nr.PUSCHReceiver(r_tx, channel_estimator="perfect",
+                                return_tb_crc_status=True)
+    t_rx = tpu_nr.PUSCHReceiver(t_tx, channel_estimator="perfect",
+                                return_tb_crc_status=True)
+    _, rcrc = r_rx(y_hi, no_hi, tf.constant(h))
+    _, tcrc = t_rx(y_hi, no_hi, h)
+    fail_r = float(np.mean(~rcrc.numpy().astype(bool)))
+    fail_t = float(np.mean(~np.asarray(tcrc).astype(bool)))
+    details["noisy_tbler"] = {"ref": fail_r, "tpu": fail_t}
+    # the point must be informative (reference fails some but not
+    # all blocks) and both frameworks must sit in the same failure
+    # regime (coarse parity: 4 TBs -> 0.25 granularity)
+    if not (0. < fail_r < 1.) or abs(fail_r - fail_t) > 0.5:
+        details["noisy_tbler"]["note"] = "TBLER parity violated"
+        worst = max(worst, 1.0)
+    return {"max_err": worst, **details}
+
+
+@check("ofdm/rzf_precoded_channel_post_eq_sinr", tol=2e-3,
+       anchor="src/sionna/phy/ofdm/precoding.py:375 "
+              "(RZFPrecodedChannel), equalization.py:758 "
+              "(LMMSEPostEqualizationSINR)")
+def ofdm_rzf_sinr():
+    import sionna.phy.ofdm as ref_o
+    import sionna_tpu.phy.ofdm as tpu_o
+    from sionna.phy.mimo import StreamManagement as RefSM
+    from sionna_tpu.phy.mimo import StreamManagement as TpuSM
+    rg_r, rg_t = _grids(ref_o, tpu_o)
+    rx_tx = np.ones((1, 1), int)
+    r_sm = RefSM(rx_tx, 2)
+    t_sm = TpuSM(rx_tx, 2)
+    g = rng(53)
+    b, n_rx_ant, n_tx_ant, nsym, fft = 2, 2, 4, 14, 64
+    h = (g.standard_normal((b, 1, n_rx_ant, 1, n_tx_ant, nsym, fft))
+         + 1j * g.standard_normal(
+             (b, 1, n_rx_ant, 1, n_tx_ant, nsym, fft))
+         ).astype(np.complex64)
+    tx_power = g.uniform(0.5, 2., (b, 1, 2)).astype(np.float32)
+    alpha = np.float32(0.1)
+    no = np.float32(0.1)
+    r_pc = ref_o.RZFPrecodedChannel(rg_r, r_sm)
+    t_pc = tpu_o.RZFPrecodedChannel(rg_t, t_sm)
+    h_eff_r = r_pc(h, tx_power, alpha=alpha).numpy()
+    h_eff_t = np.asarray(t_pc(h, tx_power, alpha=alpha))
+    worst = maxerr(h_eff_r, h_eff_t)
+    r_sinr = ref_o.LMMSEPostEqualizationSINR(rg_r, r_sm)(
+        h_eff_r, no).numpy()
+    t_sinr = np.asarray(tpu_o.LMMSEPostEqualizationSINR(rg_t, t_sm)(
+        h_eff_t, no))
+    scale = max(1.0, float(np.max(np.abs(r_sinr))))
+    worst = max(worst, maxerr(r_sinr, t_sinr) / scale)
+    return {"max_err": worst}
+
+
+@check("sys/pf_scheduler", tol=0.0,
+       anchor="src/sionna/sys/scheduling.py:14 (PFSchedulerSUMIMO)")
+def sys_pf_scheduler():
+    """Proportional-fair scheduling decisions on identical rate
+    histories must agree exactly (the PF argmax is deterministic)."""
+    from sionna.sys import PFSchedulerSUMIMO as RefPF
+    from sionna_tpu.sys import PFSchedulerSUMIMO as TpuPF
+    g = rng(61)
+    num_ut, n_freq, n_sym = 6, 4, 14
+    r_pf = RefPF(num_ut, n_freq, n_sym, batch_size=2,
+                 num_streams_per_ut=2, beta=0.9)
+    t_pf = TpuPF(num_ut, n_freq, n_sym, batch_size=2,
+                 num_streams_per_ut=2, beta=0.9)
+    worst = 0.0
+    rate_last = g.uniform(0.1, 5., (2, num_ut)).astype(np.float32)
+    rate_ach = g.uniform(0.1, 10., (2, n_sym, n_freq, num_ut)
+                         ).astype(np.float32)
+    for _ in range(3):   # stateful: iterate a few slots
+        ref = r_pf(rate_last, rate_ach).numpy()
+        ours = np.asarray(t_pf(rate_last, rate_ach))
+        worst = max(worst, maxerr(ref.astype(np.float32),
+                                  ours.astype(np.float32)))
+        rate_last = g.uniform(0.1, 5., (2, num_ut)).astype(np.float32)
+    return {"max_err": worst}
+
+
+@check("sys/fair_power_control", tol=1e-3,
+       anchor="src/sionna/sys/power_control.py:161 "
+              "(downlink_fair_power_control, bisection)")
+def sys_fair_power_control():
+    import tensorflow as tf
+    from sionna.sys import downlink_fair_power_control as ref_pc
+    from sionna_tpu.sys import downlink_fair_power_control as tpu_pc
+    g = rng(67)
+    b, num_ut = 3, 8
+    pathloss = 10 ** g.uniform(7., 12., (b, num_ut))
+    interf = 10 ** g.uniform(-11., -9., (b, num_ut))
+    n_re = g.integers(1, 200, (b, num_ut)).astype(np.float32)
+    worst = 0.0
+    for fairness in (0., 1., 2.):
+        # tf tensors: the reference concatenates pathloss.shape[:-1]
+        # with a list, which requires a TensorShape
+        ref_p, ref_r = ref_pc(
+            tf.constant(pathloss, tf.float32),
+            tf.constant(interf, tf.float32),
+            tf.constant(n_re), bs_max_power_dbm=56.,
+            guaranteed_power_ratio=0.3, fairness=fairness)
+        tpu_p, tpu_r = tpu_pc(
+            pathloss.astype(np.float32), interf.astype(np.float32),
+            n_re, bs_max_power_dbm=56.,
+            guaranteed_power_ratio=0.3, fairness=fairness)
+        scale_p = float(np.max(np.abs(ref_p.numpy())))
+        worst = max(worst, maxerr(ref_p.numpy(), tpu_p) / scale_p)
+        scale_r = max(1.0, float(np.max(np.abs(ref_r.numpy()))))
+        worst = max(worst, maxerr(ref_r.numpy(), tpu_r) / scale_r)
+    return {"max_err": worst}
+
+
+# ---------------------------------------------------------------------------
 # e2e: coded AWGN link BER at matched SNR points (statistical)
 # ---------------------------------------------------------------------------
 
@@ -818,8 +1311,10 @@ def e2e_coded_awgn():
     """Monte-Carlo BER of the same coded link in both frameworks.
 
     Error metric: max |log10(ber_tpu / ber_ref)| over 3 Eb/No
-    points with >=100 bit errors each, i.e. BERs must agree within
-    ~1.4x (0.15 decades) under independent noise realizations.
+    points, i.e. BERs must agree within ~1.4x (0.15 decades) under
+    independent noise realizations.  SNR points are chosen so the
+    worst point still has BER >= 1e-3 (>= 2000 errors per side at
+    this MC volume) — no information-free zero-error points.
     """
     import tensorflow as tf
     import sionna.phy as ref
@@ -827,7 +1322,7 @@ def e2e_coded_awgn():
     import jax.numpy as jnp
     k, n, nbps = 500, 1000, 2
     batch = 512
-    ebno_dbs = [1.0, 2.0, 3.0]
+    ebno_dbs = [0.5, 1.25, 2.0]
 
     # --- reference link (TF) ---
     renc = ref.fec.ldpc.LDPC5GEncoder(k, n)
@@ -875,9 +1370,13 @@ def e2e_coded_awgn():
 
     worst = 0.0
     pairs = []
+    # more MC at the highest (lowest-BER) point so every point keeps
+    # >= several hundred errors per side
+    reps = {0.5: 4, 1.25: 4, 2.0: 16}
     for i, ebno in enumerate(ebno_dbs):
-        rb = np.mean([ref_ber(ebno, 100 + j) for j in range(4)])
-        tb = np.mean([tpu_ber(ebno, 200 + j) for j in range(4)])
+        r_n = reps.get(ebno, 4)
+        rb = np.mean([ref_ber(ebno, 100 + j) for j in range(r_n)])
+        tb = np.mean([tpu_ber(ebno, 200 + j) for j in range(r_n)])
         pairs.append((ebno, rb, tb))
         if rb > 0 and tb > 0:
             worst = max(worst, abs(np.log10(tb / rb)))
@@ -886,6 +1385,115 @@ def e2e_coded_awgn():
     return {"max_err": worst,
             "ber_pairs": [(e, float(r), float(t))
                           for e, r, t in pairs]}
+
+
+@check("e2e/cdl_mimo_ofdm_ber", tol=0.2,
+       anchor="reference end-to-end (test/integration/"
+              "test_mimo_ofdm_cdl.py wiring): CDL-C uplink, LS-nn + "
+              "LMMSE + LDPC; BER parity in decades at 2 SNR points")
+def e2e_cdl_mimo_ofdm():
+    """Full MIMO-OFDM links over each framework's own CDL-C channel
+    (independent RNG): Monte-Carlo BER must agree within 0.2 decades
+    at SNR points chosen so both sides keep BER >= 1e-2."""
+    import tensorflow as tf
+    import sionna.phy as ref
+    import sionna_tpu.phy as tpu
+    import jax
+    import jax.numpy as jnp
+
+    fc, ds, speed = 2.6e9, 100e-9, 3.0
+    fft, nsym, scs, nbps, coderate = 64, 14, 30e3, 2, 0.5
+    num_ut_ant, num_bs_ant = 2, 4
+    pilots = [2, 11]
+    batch = 32
+
+    def build(m):
+        sm = m.mimo.StreamManagement(np.array([[1]]), num_ut_ant)
+        rg = m.ofdm.ResourceGrid(
+            num_ofdm_symbols=nsym, fft_size=fft,
+            subcarrier_spacing=scs, num_tx=1,
+            num_streams_per_tx=num_ut_ant, cyclic_prefix_length=6,
+            num_guard_carriers=(4, 3), dc_null=True,
+            pilot_pattern="kronecker",
+            pilot_ofdm_symbol_indices=pilots)
+        n = int(rg.num_data_symbols * nbps)
+        k = int(n * coderate)
+        t38 = m.channel.tr38901
+        ut = t38.AntennaArray(num_rows=1, num_cols=num_ut_ant // 2,
+                              polarization="dual",
+                              polarization_type="cross",
+                              antenna_pattern="38.901",
+                              carrier_frequency=fc)
+        bs = t38.AntennaArray(num_rows=1, num_cols=num_bs_ant // 2,
+                              polarization="dual",
+                              polarization_type="cross",
+                              antenna_pattern="38.901",
+                              carrier_frequency=fc)
+        cdl = t38.CDL("C", ds, fc, ut, bs, "uplink", min_speed=speed,
+                      max_speed=speed)
+        return dict(
+            sm=sm, rg=rg, n=n, k=k, cdl=cdl,
+            freqs=m.channel.subcarrier_frequencies(fft, scs),
+            enc=m.fec.ldpc.LDPC5GEncoder(k, n),
+            dec=m.fec.ldpc.LDPC5GDecoder(
+                m.fec.ldpc.LDPC5GEncoder(k, n), hard_out=True),
+            mapper=m.mapping.Mapper("qam", nbps),
+            demapper=m.mapping.Demapper("app", "qam", nbps),
+            rg_mapper=m.ofdm.ResourceGridMapper(rg),
+            apply=m.channel.ApplyOFDMChannel(),
+            est=m.ofdm.LSChannelEstimator(rg,
+                                          interpolation_type="nn"),
+            equ=m.ofdm.LMMSEEqualizer(rg, sm),
+            src=m.mapping.BinarySource(),
+            c2o=m.channel.cir_to_ofdm_channel)
+
+    rm = build(ref)
+    tm = build(tpu)
+
+    def ref_ber(ebno_db, seed):
+        no = ref.utils.ebnodb2no(ebno_db, nbps, coderate, rm["rg"])
+        tf.random.set_seed(seed)
+        b = rm["src"]([batch, 1, num_ut_ant, rm["k"]])
+        c = rm["enc"](b)
+        x_rg = rm["rg_mapper"](rm["mapper"](c))
+        a, tau = rm["cdl"](batch, nsym, scs)
+        h = rm["c2o"](rm["freqs"], a, tau, normalize=True)
+        y = rm["apply"](x_rg, h, no)
+        h_hat, err_var = rm["est"](y, no)
+        x_hat, no_eff = rm["equ"](y, h_hat, err_var, no)
+        llr = rm["demapper"](x_hat, no_eff)
+        b_hat = rm["dec"](llr)
+        return float(tf.reduce_mean(
+            tf.cast(tf.not_equal(b, b_hat), tf.float32)))
+
+    def tpu_ber(ebno_db, seed):
+        no = float(np.asarray(tpu.utils.ebnodb2no(
+            ebno_db, nbps, coderate, tm["rg"])))
+        key = jax.random.PRNGKey(seed)
+        kb, kc, kn = jax.random.split(key, 3)
+        b = tm["src"]([batch, 1, num_ut_ant, tm["k"]], key=kb)
+        c = tm["enc"](b)
+        x_rg = tm["rg_mapper"](tm["mapper"](c))
+        a, tau = tm["cdl"](batch, nsym, scs, key=kc)
+        h = tm["c2o"](tm["freqs"], a, tau, normalize=True)
+        y = tm["apply"](x_rg, h, no, key=kn)
+        h_hat, err_var = tm["est"](y, no)
+        x_hat, no_eff = tm["equ"](y, h_hat, err_var, no)
+        llr = tm["demapper"](x_hat, no_eff)
+        b_hat = tm["dec"](llr)
+        return float(jnp.mean((b != b_hat).astype(jnp.float32)))
+
+    worst = 0.0
+    pairs = []
+    for ebno in (2.0, 4.0):
+        rb = np.mean([ref_ber(ebno, 300 + j) for j in range(4)])
+        tb = np.mean([tpu_ber(ebno, 400 + j) for j in range(4)])
+        pairs.append((ebno, float(rb), float(tb)))
+        if rb > 0 and tb > 0:
+            worst = max(worst, abs(np.log10(tb / rb)))
+        else:
+            worst = max(worst, 1.0)
+    return {"max_err": worst, "ber_pairs": pairs}
 
 
 # ---------------------------------------------------------------------------
