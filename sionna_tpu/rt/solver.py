@@ -26,6 +26,7 @@ evaluator, and orchestration.
 
 import hashlib
 
+import jax
 import numpy as np
 
 import jax.numpy as jnp
@@ -71,6 +72,18 @@ _TRACE_UNIQUE_JIT = TRACE_UNIQUE_JIT
 # see accel.py); smaller scenes stay on the plain dense sweep whose
 # fixed overhead is lower.
 ACCEL_MIN_TRIS = 2048
+
+# Pair count above which the gain output path compacts valid
+# (sequence, tx, rx) pairs before the EM tail (see _eval_sequences).
+GAIN_COMPACT_MIN_PAIRS = 65536
+
+
+def _uniform_devices(devs):
+    """True when all devices share orientation and velocity (host
+    check at trace time) — radio-map cell receivers always do."""
+    o = np.stack([np.asarray(d.orientation) for d in devs])
+    v = np.stack([np.asarray(d.velocity) for d in devs])
+    return bool(np.all(o == o[:1]) and np.all(v == v[:1]))
 
 
 # ----------------------------------------------------------------------
@@ -256,12 +269,12 @@ class PathSolver:
             def all_spec(tp, rp):
                 outs = {}
                 for i, seq in enumerate(sequences):
-                    o = _maybe_reduce(
-                        lambda tp2, rp2, seq=seq:
-                        self._eval_sequences(
-                            scene, tri, normals, seq, tp2, rp2,
-                            eta_j, scat_j, txs, rxs, th_tri=th_j,
-                            refraction=refraction))(tp, rp)
+                    o = self._eval_sequences(
+                        scene, tri, normals, seq, tp, rp,
+                        eta_j, scat_j, txs, rxs, th_tri=th_j,
+                        refraction=refraction,
+                        dense_links=gain_mode,
+                        output_gain=gain_mode)
                     for k, v in o.items():
                         outs[f"{k}__{i}"] = v
                 return outs
@@ -548,7 +561,8 @@ class PathSolver:
     # ------------------------------------------------------------------
     def _eval_sequences(self, scene, tri, normals, seq, tx_pos,
                         rx_pos, eta_tri, scat_tri, txs, rxs,
-                        th_tri=None, refraction=False):
+                        th_tri=None, refraction=False,
+                        dense_links=False, output_gain=False):
         """Evaluates all [S] reflection sequences of equal depth D for
         all TX/RX pairs.  Returns per-path fields with S paths.
 
@@ -610,6 +624,97 @@ class PathSolver:
         total_len = jnp.sum(seg_len, axis=0)   # [S, tx, rx]
         valid &= total_len > 1e-6
 
+        big_r = s_count * num_tx * num_rx
+        # Gain output with valid-pair compaction: for radio maps
+        # (every cell a receiver) only the geometrically valid
+        # (sequence, cell) pairs — typically 10-30% — need the EM
+        # field math above the gain reduction.  Compact them to a
+        # static cap, run the tail on [cap, 1, 1], and scatter-add
+        # per-cell gains; a scalar cond falls back to the full
+        # evaluation if the valid count exceeds the cap.  Gated on a
+        # single TX and uniform RX devices so the combine stage can
+        # use one representative device.
+        if (output_gain and num_tx == 1
+                and big_r > GAIN_COMPACT_MIN_PAIRS
+                and _uniform_devices(rxs)):
+            cap = min(big_r, big_r // 3 + 8192)
+            flat_valid = valid.reshape(-1)
+            dest = jnp.cumsum(flat_valid.astype(jnp.int32)) - 1
+            count = dest[-1] + 1
+            slot = jnp.where(flat_valid, dest, cap)
+            sel = jnp.zeros((cap,), jnp.int32).at[slot].set(
+                jnp.arange(big_r, dtype=jnp.int32), mode="drop")
+            r_id = sel % num_rx
+            s_id = sel // (num_rx * num_tx)
+
+            def compact_branch(_):
+                pts_c = pts.reshape(depth + 2, big_r, 3)[
+                    :, sel][:, :, None, None, :]
+                segs_c = segs.reshape(depth + 1, big_r, 3)[
+                    :, sel][:, :, None, None, :]
+                d_hat_c = d_hat.reshape(depth + 1, big_r, 3)[
+                    :, sel][:, :, None, None, :]
+                tot_c = total_len.reshape(big_r)[sel][:, None, None]
+                seq_c = jnp.asarray(seq)[s_id]
+                n_pl_c = n_pl[s_id] if depth > 0 else None
+                valid_c = jnp.ones((cap, 1, 1), bool)
+                out = self._eval_tail(
+                    scene, tri, seq_c, n_pl_c, pts_c, segs_c,
+                    d_hat_c, tot_c, valid_c, eta_tri, scat_tri,
+                    th_tri, refraction, [txs[0]], [rxs[0]],
+                    compact_transmission=False)
+                a = out["a"]                 # [1, ra, 1, ta, cap]
+                g = jnp.abs(a[0, 0, 0, 0, :]) ** 2
+                g = jnp.where(jnp.arange(cap) < count, g, 0.)
+                return jnp.zeros((num_rx, num_tx), g.dtype).at[
+                    r_id, 0].add(g)
+
+            def full_branch(_):
+                out = self._eval_tail(
+                    scene, tri, seq, n_pl if depth > 0 else None,
+                    pts, segs, d_hat, total_len, valid, eta_tri,
+                    scat_tri, th_tri, refraction, txs, rxs,
+                    dense_links=dense_links)
+                a = out["a"]
+                return jnp.sum(jnp.abs(a[:, 0, :, 0, :]) ** 2,
+                               axis=-1)
+
+            gain = jax.lax.cond(count > cap, full_branch,
+                                compact_branch, None)
+            return {"gain": gain}
+
+        n_pl_arg = n_pl if depth > 0 else None
+        out = self._eval_tail(scene, tri, seq, n_pl_arg, pts, segs,
+                              d_hat, total_len, valid, eta_tri,
+                              scat_tri, th_tri, refraction, txs, rxs,
+                              dense_links=dense_links)
+        if output_gain:
+            a = out["a"]
+            return {"gain": jnp.sum(jnp.abs(a[:, 0, :, 0, :]) ** 2,
+                                    axis=-1)}
+        return out
+
+    # ------------------------------------------------------------------
+    def _eval_tail(self, scene, tri, seq, n_pl, pts, segs, d_hat,
+                   total_len, valid, eta_tri, scat_tri, th_tri,
+                   refraction, txs, rxs, dense_links=False,
+                   compact_transmission=True):
+        """EM field transfer for geometrically valid specular paths:
+        per-segment transverse bases, Fresnel reflection matrices,
+        through-blocker transmission, the Jones cascade, and the
+        antenna/Doppler combine.  Shapes carry a generic
+        [S, num_tx, num_rx] leading layout — the gain path calls this
+        on compacted valid pairs reshaped to [cap, 1, 1]."""
+        lam = scene.wavelength
+        s_count = pts.shape[1]
+        num_tx = pts.shape[2]
+        num_rx = pts.shape[3]
+        depth = pts.shape[0] - 2
+        if not isinstance(seq, np.ndarray):
+            # compacted path: seq is traced, so material lookups must
+            # be device gathers of embedded constants rather than
+            # host fancy-indexing
+            eta_tri = jnp.asarray(eta_tri)
         # --- Per-segment transverse bases and reflection matrices.
         # seg_basis[k] = (e_a, e_b) frame the field is expressed in
         # while traveling segment k; each reflection rotates into the
@@ -666,7 +771,10 @@ class PathSolver:
         # cascade through its ``refraction`` interaction)
         jones_t = [None] * (depth + 1)
         if scene.num_triangles > 0:
-            for k in range(depth + 1):
+            big_r = s_count * num_tx * num_rx
+            accel = getattr(self, "_accel", None)
+
+            def seg_inputs(k):
                 o = pts[k].reshape(-1, 3)
                 d = segs[k].reshape(-1, 3)
                 excl_ids = None
@@ -682,29 +790,85 @@ class PathSolver:
                     excl_ids = jnp.broadcast_to(
                         excl[:, None, None, :],
                         (s_count, num_tx, num_rx, 2)).reshape(-1, 2)
-                if refraction:
-                    ea_k, eb_k = seg_basis[k]
-                    shape3 = (s_count, num_tx, num_rx, 3)
-                    ea_k = jnp.broadcast_to(ea_k, shape3).reshape(-1, 3)
-                    eb_k = jnp.broadcast_to(eb_k, shape3).reshape(-1, 3)
-                    accel = getattr(self, "_accel", None)
-                    if accel is not None:
-                        from .accel import \
-                            transmission_jones_product_accel
-                        jt = transmission_jones_product_accel(
-                            o, d, accel, eta_tri, th_tri, lam,
-                            ea_k, eb_k, excl_ids=excl_ids)
-                    else:
-                        jt = transmission_jones_product(
-                            o, d, tri, eta_tri, th_tri, lam,
-                            ea_k, eb_k, excl_ids=excl_ids)
-                    jones_t[k] = jt.reshape(
-                        s_count, num_tx, num_rx, 2, 2)
+                return o, d, excl_ids
+
+            if refraction:
+                def jones_all(sel=None):
+                    """Per-segment transmission Jones factors,
+                    optionally on a compacted ray subset."""
+                    outs = []
+                    for k in range(depth + 1):
+                        o, d, excl_ids = seg_inputs(k)
+                        ea_k, eb_k = seg_basis[k]
+                        shape3 = (s_count, num_tx, num_rx, 3)
+                        ea_k = jnp.broadcast_to(
+                            ea_k, shape3).reshape(-1, 3)
+                        eb_k = jnp.broadcast_to(
+                            eb_k, shape3).reshape(-1, 3)
+                        if sel is not None:
+                            o, d, ea_k, eb_k = (o[sel], d[sel],
+                                                ea_k[sel], eb_k[sel])
+                            if excl_ids is not None:
+                                excl_ids = excl_ids[sel]
+                        if accel is not None:
+                            from .accel import \
+                                transmission_jones_product_accel
+                            jt = transmission_jones_product_accel(
+                                o, d, accel, eta_tri, th_tri, lam,
+                                ea_k, eb_k, excl_ids=excl_ids)
+                        else:
+                            jt = transmission_jones_product(
+                                o, d, tri, eta_tri, th_tri, lam,
+                                ea_k, eb_k, excl_ids=excl_ids)
+                        outs.append(jt)
+                    return tuple(outs)
+
+                # Valid-pair compaction: only geometrically valid
+                # (sequence, tx, rx) pairs need the (expensive)
+                # through-blocker transmission query — typically a
+                # small fraction of the candidate set (most specular
+                # images miss their triangle for a given RX).
+                # Invalid rays keep an identity factor, which is
+                # irrelevant: combine_paths zeroes their field.  A
+                # scalar lax.cond falls back to the full query if the
+                # valid count ever exceeds the static cap.
+                # dense-link workloads (radio maps: every cell a
+                # receiver) keep ~10-20% of pairs valid; sparse-link
+                # path solves keep well under 1%.
+                frac = 4 if dense_links else 16
+                cap = min(big_r, big_r // frac + 4096)
+                if compact_transmission and cap < big_r:
+                    flat_valid = valid.reshape(-1)
+                    dest = jnp.cumsum(
+                        flat_valid.astype(jnp.int32)) - 1
+                    count = dest[-1] + 1
+                    slot = jnp.where(flat_valid, dest, cap)
+                    sel = jnp.zeros((cap,), jnp.int32).at[slot].set(
+                        jnp.arange(big_r, dtype=jnp.int32),
+                        mode="drop")
+
+                    def compact_branch(_):
+                        eye = jnp.broadcast_to(
+                            jnp.eye(2, dtype=jnp.complex64),
+                            (big_r, 2, 2))
+                        return tuple(
+                            eye.at[sel].set(jt)
+                            for jt in jones_all(sel))
+
+                    jt_list = jax.lax.cond(
+                        count > cap, lambda _: jones_all(None),
+                        compact_branch, None)
                 else:
+                    jt_list = jones_all(None)
+                jones_t = [jt.reshape(s_count, num_tx, num_rx, 2, 2)
+                           for jt in jt_list]
+            else:
+                for k in range(depth + 1):
+                    o, d, excl_ids = seg_inputs(k)
                     blocked = any_blocking_hit(
-                        o, d, tri, excl_ids=excl_ids,
-                        accel=getattr(self, "_accel", None))
-                    valid &= ~blocked.reshape(s_count, num_tx, num_rx)
+                        o, d, tri, excl_ids=excl_ids, accel=accel)
+                    valid &= ~blocked.reshape(s_count, num_tx,
+                                              num_rx)
 
         # --- Polarized field transfer (Jones matrix cascade):
         # segment-k transmission (in frame k), then reflection k
@@ -739,3 +903,4 @@ class PathSolver:
         tau = total_len / SPEED_OF_LIGHT
         return combine_paths(scene, txs, rxs, d_hat[0], u_r, jones,
                              amp, valid, tau)
+

@@ -451,3 +451,34 @@ def test_gain_output_matches_paths_reduction():
     gain_dev = solver(sc, output="gain", **kw)
     np.testing.assert_allclose(gain_dev, gain_ref, rtol=1e-5,
                                atol=1e-24)
+
+
+def test_gain_compaction_matches_full(monkeypatch):
+    """The compacted gain path (valid-pair gather -> _eval_tail on
+    [cap, 1, 1] -> per-cell scatter-add) must equal the full
+    [S, tx, rx] evaluation (paths-based reduction).  The production
+    threshold engages only above 65536 pairs, so force it to 0."""
+    from sionna_tpu.rt import (load_scene, Transmitter, Receiver,
+                               PlanarArray, PathSolver)
+    import sionna_tpu.rt.solver as solver_mod
+    monkeypatch.setattr(solver_mod, "GAIN_COMPACT_MIN_PAIRS", 0)
+
+    sc = load_scene("simple_street_canyon", frequency=3.5e9)
+    sc.tx_array = PlanarArray(1, 1, pattern="iso", polarization="V")
+    sc.rx_array = PlanarArray(1, 1, pattern="iso", polarization="V")
+    sc.add(Transmitter("tx", [-20., 0., 10.]))
+    rng = np.random.default_rng(3)
+    rx_pos = np.stack([rng.uniform(-25, 25, 40),
+                       rng.uniform(-8, 8, 40),
+                       np.full(40, 1.5)], axis=-1)
+    for i, p in enumerate(rx_pos):
+        sc.add(Receiver(f"rx{i}", p.tolist()))
+
+    kw = dict(max_depth=2, samples_per_src=4000)
+    solver = PathSolver()
+    paths = solver(sc, **kw)
+    a = np.asarray(paths.a)[:, 0, :, 0, :]
+    gain_ref = np.sum(np.abs(a) ** 2, axis=-1)       # [rx, tx]
+    gain_dev = np.asarray(solver(sc, output="gain", **kw))
+    np.testing.assert_allclose(gain_dev, gain_ref, rtol=1e-5,
+                               atol=1e-24)
