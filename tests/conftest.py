@@ -63,7 +63,15 @@ def pytest_addoption(parser):
 
 def pytest_collection_modifyitems(config, items):
     """Slow tests are opt-in: deselected unless --runslow / RUN_SLOW=1
-    or an explicit -m expression mentioning 'slow' is given."""
+    or an explicit -m expression mentioning 'slow' is given.
+
+    Beyond in-file @pytest.mark.slow marks, the default-tier wall-time
+    budget (<5 min on one CPU) is enforced by tests/tier_manifest.py:
+    tests listed there are promoted to the slow tier centrally."""
+    from tier_manifest import is_slow
+    for item in items:
+        if "slow" not in item.keywords and is_slow(item.nodeid):
+            item.add_marker(pytest.mark.slow)
     if (config.getoption("--runslow")
             or os.environ.get("RUN_SLOW", "") == "1"
             or "slow" in (config.getoption("-m") or "")):

@@ -93,11 +93,13 @@ def test_bp_decoder():
 
 @pytest.mark.parametrize("dec_type", ["SC", "SCL", "BP"])
 def test_polar5g_roundtrip(dec_type):
+    # sized for the default-tier budget (tests/tier_manifest.py);
+    # larger codes are exercised by the slow-tier SC/SCL goldens
     rng = np.random.default_rng(3)
-    k, n = 64, 128
+    k, n = 32, 64
     enc = Polar5GEncoder(k, n)
     dec = Polar5GDecoder(enc, dec_type=dec_type, list_size=8)
-    b = rng.integers(0, 2, (20, k)).astype(np.float32)
+    b = rng.integers(0, 2, (8, k)).astype(np.float32)
     c = np.asarray(enc(jnp.asarray(b)))
     u = np.asarray(dec(jnp.asarray((2 * c - 1) * 6.0, jnp.float32)))
     np.testing.assert_array_equal(u, b)

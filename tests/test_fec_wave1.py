@@ -166,7 +166,9 @@ def test_ldpc_encoder_systematic():
 
 @pytest.mark.parametrize("cn", ["boxplus-phi", "minsum", "offset-minsum"])
 def test_ldpc_decode_noiseless(cn):
-    k, n = 500, 1000
+    # sized for the default-tier budget (tests/tier_manifest.py);
+    # the larger decode runs are slow-tier (test_ldpc_decode_awgn)
+    k, n = 250, 500
     enc = LDPC5GEncoder(k, n)
     dec = LDPC5GDecoder(enc, cn_update=cn, num_iter=10)
     u = np.asarray(BinarySource()([4, k]))

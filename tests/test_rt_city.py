@@ -27,14 +27,16 @@ def _setup(scene):
 
 
 def test_city_paths_small():
-    """6x6-block city (~3.3k triangles — ABOVE the accel threshold,
+    """8x8-block city (~2.6k triangles — ABOVE the accel threshold,
     so the clustered path runs in the default tier): paths exist,
     delays are physical, and the strongest path beats free-space
-    loss bounds."""
+    loss bounds.  Sized for the default-tier wall-time budget
+    (tests/tier_manifest.py); the 100k-triangle stress scene below
+    is the slow-tier counterpart."""
     from sionna_tpu.rt.solver import ACCEL_MIN_TRIS
-    sc = _setup(make_city(6, 6, subdiv=3))
+    sc = _setup(make_city(8, 8, subdiv=2))
     assert sc.num_triangles > ACCEL_MIN_TRIS
-    paths = PathSolver()(sc, max_depth=2, samples_per_src=2000)
+    paths = PathSolver()(sc, max_depth=2, samples_per_src=1200)
     valid = np.asarray(paths.valid)[0, 0]
     assert valid.sum() >= 1
     tau = np.asarray(paths.tau)[0, 0][valid]

@@ -1,0 +1,285 @@
+"""Default-tier budget manifest.
+
+The default tier (plain ``pytest -q``) is a smoke + exactness gate
+that must finish in **under 5 minutes on a single CPU core** (the
+verification-box class this repo is judged on).  Everything in
+``SLOW_NODES`` below is promoted to the ``slow`` tier (run with
+``--runslow`` / ``RUN_SLOW=1``), keeping the default tier at roughly
+250 call-seconds while every family retains at least one
+representative default-tier test.
+
+Selection method: per-test wall times were measured on a quiet
+single-CPU box (``pytest <file> -q --durations=0`` per file, JAX on
+CPU with the virtual 8-device mesh); the number in each comment is
+that measured duration.  Tests were kept in the default tier either
+because they are cheap (<1.5 s) or because they are the designated
+flagship check for a subsystem (e.g. the clustered-city RT solve,
+the SCL polar round-trip, the LDPC min-sum decode, the live-reference
+differential fast set).  To re-tune: re-run the per-file sweep and
+edit this list — do not scatter ``@pytest.mark.slow`` edits across
+files for budget reasons (functional "this is inherently a long MC
+run" marks still live with the tests themselves).
+
+Entries are matched against ``item.nodeid`` relative to the tests
+directory: ``"file.py::name"`` matches exactly; a trailing ``*``
+matches any parametrization/suffix.
+"""
+
+SLOW_NODES = [
+    # ---- NR transport-block goldens (MATLAB refs; 22-164 s each,
+    # 693 s total).  Default-tier TB-chain coverage remains via the
+    # bit-exact PUSCH waveform goldens kept in test_nr.py below.
+    "test_nr_goldens.py::test_tb_encoder_against_reference*",
+
+    # ---- test_nr.py: keep goldens [5],[19],[27],[35] (~5 s) as the
+    # default bit-exact TX-chain anchors; the rest is slow.
+    "test_nr.py::test_tb_encoder_multi_cb",                  # 77 s
+    "test_nr.py::test_tb_encoder_decoder_roundtrip",         # 30 s
+    "test_nr.py::test_pusch_transmitter_golden[0]",          # 9.8 s
+    "test_nr.py::test_pusch_transmitter_golden[82]",         # 7.2 s
+    "test_nr.py::test_pusch_transmitter_golden[67]",         # 6.5 s
+    "test_nr.py::test_pusch_transmitter_golden[59]",         # 4.7 s
+    "test_nr.py::test_pusch_transmitter_golden[51]",         # 3.0 s
+    "test_nr.py::test_pusch_transmitter_golden[43]",         # 3.0 s
+    "test_nr.py::test_pusch_transmitter_golden[11]",         # 2.6 s
+    "test_nr.py::test_pusch_transmitter_golden[75]",         # 2.4 s
+    "test_nr.py::test_pusch_transmitter_golden[27]",         # 2.7 s
+    "test_nr.py::test_pusch_transmitter_golden[35]",         # 0.4 s
+
+    # ---- RT core: default keeps two-ray analytic + cfr/taps +
+    # the clustered city solve (test_rt_city) + all sub-second
+    # physics checks.
+    "test_rt.py::test_gain_compaction_matches_full",         # 73 s
+    "test_rt.py::test_gain_output_matches_paths_reduction",  # 42 s
+    "test_rt.py::test_trace_functional_differentiable",      # 35 s
+    "test_rt.py::test_paths_to_ofdm_channel_bridge",         # 20 s
+    "test_rt.py::test_radio_map_sample_positions_and_render_overlay",  # 17 s
+    "test_rt.py::test_double_bounce_parallel_plates",        # 16 s
+    "test_rt.py::test_radio_map",                            # 13 s
+    "test_rt.py::test_single_metal_reflection",              # 7 s
+    "test_rt.py::test_occlusion_blocks_los",                 # 4 s
+    "test_rt.py::test_chunked_intersection_equivalence",     # 2.4 s
+
+    # ---- LDPC/FEC wave 1: default keeps min-sum noiseless decode,
+    # the 100-200 encoder syndrome, systematic property, CRC/
+    # scrambler/interleaver checks (all <1.5 s).
+    "test_fec_wave1.py::test_ldpc_jit_grad",                 # 53 s
+    "test_fec_wave1.py::test_ldpc_decode_awgn",              # 25 s
+    "test_fec_wave1.py::test_ldpc_decode_noiseless[boxplus-phi]",   # 20 s
+    "test_fec_wave1.py::test_ldpc_decode_noiseless[offset-minsum]", # 12 s
+    "test_fec_wave1.py::test_ldpc_output_interleaver",       # 19 s
+    "test_fec_wave1.py::test_ldpc_decoder_soft_output_and_state",   # 4.1 s
+    "test_fec_wave1.py::test_ldpc_encoder_syndrome[3824-5736]",     # 2.5 s
+    "test_fec_wave1.py::test_ldpc_encoder_syndrome[4000-6000]",     # 2.1 s
+    "test_fec_wave1.py::test_ldpc_encoder_syndrome[973-1500]",      # 1.7 s
+    "test_fec_wave1.py::test_ldpc_encoder_syndrome[8448-12672]",    # 2.7 s
+
+    # ---- Polar: default keeps the SCL-8 round-trip (THE flagship),
+    # BP round-trip, and the sub-second SC golden + encoder goldens.
+    "test_fec_polar.py::test_scl_use_spc_decodes_correctly",  # 35 s
+    "test_fec_polar.py::test_scl_outperforms_sc",             # 21 s
+    "test_fec_polar.py::test_polar5g_crc_status",             # 19 s
+    "test_fec_polar.py::test_polar5g_roundtrip[SC]",          # 9.8 s
+    "test_fec_polar.py::test_bp_decoder",                     # 6.7 s
+    "test_fec_polar.py::test_polar_sc_decoder_golden[P_128_37]",    # 5.6 s
+    "test_fec_polar.py::test_spc_node_rule_is_node_optimal",  # 4.9 s
+    "test_fec_polar.py::test_polar_sc_decoder_golden[P_256_128]",   # 3.3 s
+    "test_fec_polar.py::test_polar5g_encoder_golden[E1023_k400_K411]",  # 2.9 s
+    "test_fec_polar.py::test_polar5g_encoder_golden[E45_k30_K41]",      # 2.0 s
+    "test_fec_polar.py::test_polar5g_encoder_golden[E70_k32_K43]",      # 1.9 s
+    "test_fec_polar.py::test_polar_transform_matches_dense",  # 1.6 s
+    "test_fec_polar.py::test_polar_sc_decoder_golden[P_128_110]",  # 5.2 s in-suite
+    "test_fec_polar.py::test_polar5g_encoder_golden[E127_k29_K40]",  # 1.8 s
+
+    # ---- FEC wave 2: default keeps conv/turbo/viterbi encoder
+    # goldens, BCJR-vs-Viterbi, RSC round-trip, weighted BP.
+    "test_fec_wave2.py::test_turbo_decoder_golden*",          # 35 s
+    "test_fec_wave2.py::test_turbo_rate_half",                # 7.8 s
+    "test_fec_wave2.py::test_osd_from_pcm",                   # 2.2 s
+    "test_fec_wave2.py::test_linear_encoder_and_osd",         # 2.0 s
+    "test_fec_wave2.py::test_bcjr_matches_viterbi_high_snr",  # 1.8 s
+    "test_fec_wave2.py::test_rsc_conv_roundtrip",             # 2.2 s
+
+    # ---- Coded-link integration parity (the 0.1 dB BLER grid and
+    # friends): slow tier, summarized by the committed
+    # tools/bler_parity_report.json.
+    "test_integration_parity.py::test_bler_parity_mcs5_cbs100",        # 30 s
+    "test_integration_parity.py::test_short_codes_integration",        # 60 s
+    "test_integration_parity.py::test_different_length_ldpc_integration",  # 59 s
+
+    # ---- TPU fast paths: keep one LS-estimator one-hot check +
+    # sub-second variants; engine-agreement goes slow.
+    "test_tpu_fastpaths.py::test_lifted_boxplus_engines_agree*",       # 74 s
+    "test_tpu_fastpaths.py::test_detector_extract_onehot_bitexact[2-2-bit]",  # 8.3 s
+    "test_tpu_fastpaths.py::test_detector_extract_onehot_bitexact[1-2-bit]",  # 6.0 s
+    "test_tpu_fastpaths.py::test_detector_extract_onehot_bitexact[1-1-bit]",  # 6.0 s
+    "test_tpu_fastpaths.py::test_lmmse_equalizer_plane_path[1-1-1-1]",  # 5.5 s
+    "test_tpu_fastpaths.py::test_lmmse_equalizer_plane_path[2-2-1-2]",  # 5.1 s
+    "test_tpu_fastpaths.py::test_lmmse_equalizer_plane_path[1-1-2-2]",  # 4.1 s
+    "test_tpu_fastpaths.py::test_lmmse_equalizer_plane_path[1-2-2-4]",  # 4.0 s
+    "test_tpu_fastpaths.py::test_ls_estimator_onehot_bitexact[2-2-nn]", # 2.2 s
+    "test_tpu_fastpaths.py::test_ls_estimator_onehot_bitexact[2-2-lin]", # 1.7 s
+    "test_tpu_fastpaths.py::test_detector_extract_onehot_bitexact[1-1-symbol]",  # 5.7 s
+    "test_tpu_fastpaths.py::test_lmmse_equalizer_plane_path[1-1-4-4]",  # 6.1 s
+    "test_tpu_fastpaths.py::test_rg_mapper_onehot_bitexact[2-2-76-True-guards2]",  # 1.5 s
+    "test_tpu_fastpaths.py::test_rg_mapper_onehot_bitexact[1-2-64-False-guards1]",  # 1.3 s
+
+    # ---- TR38.901 system level: the jitted full-chain determinism
+    # test stays; scenario e2e statistics and LSP moments go slow
+    # (LSP/pathloss parity also runs in the default differential
+    # fast set vs the live reference).
+    "test_tr38901_sys.py::test_system_level_channel_end_to_end*",  # 59 s
+    "test_tr38901_sys.py::test_rays_properties",              # 7.5 s
+    "test_tr38901_sys.py::test_channel_gain_includes_pathloss",  # 2.6 s
+    "test_tr38901_sys.py::test_lsp_log_moments",              # 2.3 s
+    "test_tr38901_sys.py::test_lsp_spatial_correlation",      # 1.8 s
+    "test_tr38901_sys.py::test_rays_delay_spread_scaling",    # 11 s in-suite
+
+    # ---- TR38.901 TDL/CDL: Doppler autocorrelation is the default
+    # anchor; CDL structure checks are slow (CDL also covered by the
+    # differential harness and the slow CDL MIMO-OFDM link).
+    "test_tr38901.py::test_cdl_with_ofdm_channel",            # 20 s
+    "test_tr38901.py::test_cdl_omni_power_unit",              # 14 s
+    "test_tr38901.py::test_cdl_ula_array_response",           # 14 s
+    "test_tr38901.py::test_cdl_los_components",               # 12 s
+    "test_tr38901.py::test_tdl_power_normalization",          # 7.8 s
+    "test_tr38901.py::test_tdl_doppler_autocorrelation",      # 82 s in-suite
+
+    # ---- TR38.901 step-11 NumPy oracles: the module fixture alone
+    # costs ~36 s (double-precision full-chain compile), so the whole
+    # module is slow-tier; the step-11 engine still runs in the
+    # default tier via test_tr38901_sys jit determinism + the
+    # differential fast set.
+    "test_tr38901_step11.py::*",                              # 39 s
+
+    # ---- SYS: OLLA functional step + sub-second checks stay.
+    "test_sys.py::test_gen_hexgrid_topology_with_channel",    # 35 s
+    "test_sys.py::test_phy_abstraction_new_bler_table",       # 31 s
+    "test_sys.py::test_illa_monotone_in_sinr",                # 4.7 s
+    "test_sys.py::test_phy_abstraction_bler_monotone",        # 3.6 s
+    "test_sys.py::test_eesm_per_stream",                      # 3.3 s
+    "test_sys.py::test_illa_respects_bler_target",            # 2.2 s
+    "test_sys.py::test_phy_abstraction_from_sinr_grid",       # 1.7 s
+
+    # ---- RT accel: trace-vs-dense equivalence stays; end-to-end
+    # and repair paths are slow.
+    "test_rt_accel.py::test_path_solver_end_to_end_accel_vs_dense",  # 60 s
+    "test_rt_accel.py::test_small_kmax_repair_path_is_exact",  # 4.8 s
+    "test_rt_accel.py::test_any_blocking_hit_matches_dense",   # 4.4 s
+    "test_rt_accel.py::test_nearest_hit_matches_dense*",       # 6.5 s
+
+    # ---- OFDM detection: K-best wrapper + IDD prior + linear-interp
+    # LS stay; CDL link and LMMSE interpolator are slow.
+    "test_ofdm_detection.py::test_cdl_mimo_ofdm_link",         # 24 s
+    "test_ofdm_detection.py::test_lmmse_interpolator",         # 15 s
+    "test_ofdm_detection.py::test_lmmse_detection_ls_estimation[nn]",  # 11 s
+    "test_ofdm_detection.py::test_ls_estimator_accuracy",      # 6.3 s
+    "test_ofdm_detection.py::test_ep_ofdm_detection",          # 3.5 s
+    "test_ofdm_detection.py::test_mmse_pic_ofdm_detection",    # 2.7 s
+    "test_ofdm_detection.py::test_lmmse_equalizer_ofdm",       # 2.2 s
+    "test_ofdm_detection.py::test_lmmse_detection_ls_estimation[lin]",  # 14 s in-suite
+    "test_ofdm_detection.py::test_lmmse_detection_ls_estimation[lin_time_avg]",
+
+    # ---- RT diffraction: Keller cone stays as the default anchor.
+    "test_rt_diffraction.py::test_multi_tx_rx_with_all_interactions",  # 22 s
+    "test_rt_diffraction.py::test_diffracted_path_oblique_transmission_te_tm",  # 22 s
+    "test_rt_diffraction.py::test_shadow_boundary_continuity",  # 7.7 s
+    "test_rt_diffraction.py::test_energy_split_specular_plus_diffuse",  # 6.5 s
+    "test_rt_diffraction.py::test_diffuse_energy_vs_quadrature",  # 3.6 s
+    "test_rt_diffraction.py::test_fresnel_transition_oracle",   # 2.1 s
+    "test_rt_diffraction.py::test_deep_shadow_vs_utd_oracle",   # 1.7 s
+
+    # ---- RT refraction: oblique TE/TM split stays.
+    "test_rt_refraction.py::test_transmission_jones_accel_matches_dense",  # 15 s
+    "test_rt_refraction.py::test_transmission_accel_matches_dense",  # 11 s
+    "test_rt_refraction.py::test_trace_functional_refraction_gradients",  # 10 s
+    "test_rt_refraction.py::test_through_wall_los_amplitude",   # 4.0 s
+    "test_rt_refraction.py::test_radio_map_refraction_fills_shadow",  # 3.9 s
+    "test_rt_refraction.py::test_transmission_product_multiple_walls",  # 3.2 s
+
+    # ---- RT scattering: NaN guard stays; quadrature cross-checks slow.
+    "test_rt_scattering.py::test_lobe_norm_closed_form_vs_quadrature",  # 23 s
+    "test_rt_scattering.py::test_solver_directive_scattering_vs_quadrature",  # 5.9 s
+    "test_rt_scattering.py::test_rx_behind_surface_no_nan_directive",  # 4.6 s
+    "test_rt_scattering.py::test_mixed_materials_batch",        # 4.0 s
+
+    # ---- MIMO detectors: K-best + MMSE-PIC stay as default anchors.
+    "test_mimo.py::test_kbest_full_k_matches_ml",               # 6.1 s
+    "test_mimo.py::test_mmse_pic_with_prior_improves",          # 5.9 s
+    "test_mimo.py::test_ml_beats_linear_at_low_snr",            # 5.1 s
+    "test_mimo.py::test_linear_detector",                       # 4.3 s
+    "test_mimo.py::test_kbest_hard_symbols",                    # 4.2 s
+    "test_mimo.py::test_ep_detector",                           # 3.6 s
+    "test_mimo.py::test_lmmse_equalizer_recovers_high_snr",     # 3.3 s
+    "test_mimo.py::test_ml_detector_bits",                      # 2.4 s
+    "test_mimo.py::test_ml_detector_symbols",                   # 1.7 s
+    "test_mimo.py::test_mmse_pic_detector",                     # 4.9 s in-suite
+    "test_mimo.py::test_zf_mf_equalizers",                      # 3.3 s in-suite
+
+    # ---- sim_ber driver: theory match + distributed mesh stay.
+    "test_awgn_sim.py::test_trainable_constellation_learning",  # 8.4 s
+    "test_awgn_sim.py::test_sim_ber_checkpoint_resume",         # 5.2 s
+    "test_awgn_sim.py::test_jit_vmap_grad_compose",             # 4.0 s
+    "test_awgn_sim.py::test_16qam_awgn_ber",                    # 2.1 s
+    "test_awgn_sim.py::test_sim_ber_early_stop",                # 2.1 s
+    "test_awgn_sim.py::test_sim_ber_without_key_param",         # 1.9 s
+    "test_awgn_sim.py::test_sim_ber_target_block_errors",       # 1.8 s
+
+    # ---- Channel: Gumbel-softmax gradient + Rayleigh stay; composite
+    # wrappers slow (their pieces are covered by sub-second tests +
+    # the differential cir/mod-demod rows).
+    "test_channel.py::test_ofdm_channel_composite",             # 3.3 s
+    "test_channel.py::test_flat_fading_channel_block",          # 3.0 s
+    "test_channel.py::test_time_channel_composite",             # 2.8 s
+    "test_channel.py::test_flat_fading_with_correlation",       # 1.8 s
+    "test_channel.py::test_bsc",                                # 1.8 s
+    "test_channel.py::test_bsc_llr_out",                        # 1.5 s
+
+    # ---- Mapping: full round-trip stays; per-order separable
+    # fast-path exactness keeps the 4-bit case via sub-second [app-4].
+    "test_mapping.py::test_demapper_separable_fast_path_exact[app-2]",  # 2.1 s
+    "test_mapping.py::test_demapper_separable_fast_path_exact[app-6]",  # 2.0 s
+    "test_mapping.py::test_demapper_separable_fast_path_exact[app-8]",  # 1.8 s
+    "test_mapping.py::test_demapper_separable_fast_path_exact[maxlog-6]",  # 1.9 s
+    "test_mapping.py::test_demapper_separable_fast_path_exact[maxlog-8]",  # 1.8 s
+
+    # ---- Signal/OFDM: LMMSE-1D interpolator slow; everything else
+    # is sub-2.5 s and stays.
+    "test_signal_ofdm.py::test_lmmse_interpolator_1d",          # 4.0 s
+
+    # ---- Ordered LMMSE: one oracle order stays.
+    "test_lmmse_ordered.py::test_spatial_smoothing_runs",       # 9.9 s
+    "test_lmmse_ordered.py::test_ordered_lmmse_matches_numpy_oracle[False-t-f]",  # 2.4 s
+    "test_lmmse_ordered.py::test_ordered_lmmse_matches_numpy_oracle[True-f-t]",   # 2.3 s
+    "test_lmmse_ordered.py::test_ordered_lmmse_matches_numpy_oracle[True-t-f]",   # 1.7 s
+
+    # ---- Multi-host (two OS processes over the loopback DCN): slow.
+    "test_multihost.py::test_two_process_multihost_sweep",      # 15 s
+
+    # ---- OFDM precoding: post-eq SINR stays (also differentially
+    # checked vs the reference); RZF/eye/interference go slow.
+    "test_ofdm_precoding.py::test_rzf_precoder_zero_forcing",   # 6.5 s
+    "test_ofdm_precoding.py::test_precoded_channel_consistency",  # 6.0 s
+    "test_ofdm_precoding.py::test_sinr_with_interference",      # 4.6 s
+    "test_ofdm_precoding.py::test_eye_precoded_channel",        # 4.2 s
+
+    # ---- Examples / differential heavies.
+    "test_examples.py::test_example_smoke",                     # 38 s
+    "test_ref_differential.py::test_differential_fast[sys/fair_power_control]",  # 20 s
+    "test_ref_differential.py::test_differential_fast[fec_ldpc/encoder]",  # 4.6 s
+]
+
+
+def is_slow(nodeid):
+    """True if the tests-relative nodeid matches a SLOW_NODES entry."""
+    # Strip the directory prefix from the FILE part only — parameter
+    # ids may themselves contain '/' (e.g. [sys/fair_power_control]).
+    fname, sep, rest = nodeid.partition("::")
+    name = fname.split("/")[-1] + sep + rest
+    for pat in SLOW_NODES:
+        if pat.endswith("*"):
+            if name.startswith(pat[:-1]):
+                return True
+        elif name == pat:
+            return True
+    return False
