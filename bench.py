@@ -41,11 +41,29 @@ host-synced and post-warmup).
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 import jax
+
+# Persistent XLA compilation cache: a fresh bench process otherwise
+# re-pays the full compile/warmup bill (the 100k-triangle city solve
+# alone costs minutes of XLA time).  Steady-state timings are
+# unaffected — every timed call runs post-warmup executables.
+if os.environ.get("SIONNA_TPU_NO_COMPILE_CACHE") != "1":
+    _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                          -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.5)
+    except Exception:
+        pass
+
 import jax.numpy as jnp
 
 FLAGSHIP_BASELINE_BITS_PER_S = 37.48e6   # reference XLA, A6000
