@@ -61,8 +61,9 @@ if os.environ.get("SIONNA_TPU_NO_COMPILE_CACHE") != "1":
                           -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           0.5)
-    except Exception:
-        pass
+    except Exception as _ex:  # option renamed/removed in a future JAX
+        print(f"warning: persistent compile cache disabled ({_ex})",
+              file=sys.stderr)
 
 import jax.numpy as jnp
 

@@ -6,12 +6,19 @@ post-warmup, so regressions can be attributed to a stage instead of
 re-bisecting commits.  Run alone on a quiet box (see
 docs/PERFORMANCE.md benchmark protocol).
 """
+import os
+import sys
 import time
 
 import numpy as np
 import jax
 
-import bench  # noqa: F401  (enables the persistent compile cache)
+# sys.path[0] is tools/ when invoked as `python tools/profile_city.py`;
+# the repo root holds bench.py and sionna_tpu/
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import bench  # noqa: F401,E402  (enables the persistent compile cache)
 from sionna_tpu.rt import (make_city, Transmitter, Receiver,
                            PlanarArray, PathSolver)
 from sionna_tpu.rt.geometry import TRACE_UNIQUE_JIT, tri_normals
@@ -57,8 +64,11 @@ def main():
                                accel)
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
+        # same (depth + 1) ray-segment convention as the warm-solve
+        # lines and bench.py's city metric, so the numbers compare
         print(f"trace+dedupe[{i}] {dt:8.2f} s  "
-              f"({samples * depth / dt / 1e3:.1f} krays/s trace-only)")
+              f"({samples * (depth + 1) / dt / 1e3:.1f} krays/s "
+              f"trace-only)")
     counts = np.asarray(out[1])
     print(f"unique prefixes per depth: {counts}")
 
