@@ -16,3 +16,5 @@ from .scattering_pattern import (ScatteringPattern, LambertianPattern,
 from .solver import PathSolver, Paths
 from .radio_map import RadioMapSolver, RadioMap
 from .render import render
+from .mitsuba_loader import (load_ply, load_mitsuba_xml,
+                             export_mitsuba_xml)

@@ -444,16 +444,24 @@ def load_obj(path, default_material="itu_concrete"):
 
 def load_scene(name="empty", frequency=3.5e9,
                default_material="itu_concrete"):
-    """Loads a built-in procedural scene by name, or an external OBJ
-    file by path (API parity with sionna.rt.load_scene)."""
+    """Loads a built-in procedural scene by name, or an external
+    scene file by path (API parity with sionna.rt.load_scene):
+    Mitsuba 3 XML bundles (the upstream munich / etoile /
+    simple_street_canyon asset format — shapes, BSDF->material
+    mapping, to_world transforms, binary/ascii PLY meshes; see
+    mitsuba_loader.py) and Wavefront OBJ meshes."""
     if name in _BUILTIN_SCENES:
         sc = _BUILTIN_SCENES[name]()
         sc.frequency = float(frequency)
         return sc
     if os.path.isfile(name):
-        triangles, mats = load_obj(name, default_material)
-        known = {m for m in mats if m in ITU_MATERIALS}
-        mats = [m if m in known else default_material for m in mats]
+        if name.lower().endswith(".xml"):
+            from .mitsuba_loader import load_mitsuba_xml
+            triangles, mats = load_mitsuba_xml(name, default_material)
+        else:
+            triangles, mats = load_obj(name, default_material)
+        mats = [m if m in ITU_MATERIALS else default_material
+                for m in mats]
         return Scene(triangles=triangles, material_names=mats,
                      frequency=frequency,
                      name=os.path.splitext(os.path.basename(name))[0])

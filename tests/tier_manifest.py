@@ -263,6 +263,10 @@ SLOW_NODES = [
     "test_ofdm_precoding.py::test_sinr_with_interference",      # 4.6 s
     "test_ofdm_precoding.py::test_eye_precoded_channel",        # 4.2 s
 
+    # ---- Mitsuba XML/PLY loader: format + transform + round-trip
+    # parsing stays (<1 s each); the double path solve goes slow.
+    "test_rt_mitsuba.py::test_fixture_solves_bit_identically_to_procedural",  # 16 s
+
     # ---- Examples / differential heavies.
     "test_examples.py::test_example_smoke",                     # 38 s
     "test_ref_differential.py::test_differential_fast[sys/fair_power_control]",  # 20 s
