@@ -31,13 +31,14 @@ fetches a scalar to the host (async dispatch through the axon tunnel
 makes trailing block_until_ready unreliable); one untimed post-compile
 call absorbs execution-path warmup.  Only integer/real scalars are
 fetched (the axon backend cannot transfer complex arrays).  The
-flagship fuses 16 MC iterations per timed call: each host-synced call
+flagship fuses 32 MC iterations per timed call: each host-synced call
 through the axon tunnel carries a fixed ~30 ms RPC cost that real
 (non-tunneled) TPU deployments do not pay, so longer on-device loops
 report the sustained device throughput rather than the tunnel
-latency (measured 168 / 187 / 206 / 213 Mb/s at n_scan=2/4/8/16 —
-the asymptote, not a methodology change: every call is still
-host-synced and post-warmup).
+latency (round-2 measurements: 168 / 187 / 206 / 213 Mb/s at
+n_scan=2/4/8/16 — the asymptote, not a methodology change: every
+call is still host-synced and post-warmup; round 5 deepened the
+fusion to 32).
 """
 
 import json
@@ -154,7 +155,7 @@ def _flagship_step(batch, n_scan, fft_size=256, ldpc_engine="pallas",
     return step, k
 
 
-def bench_flagship(batch=2048, n_scan=16, n_calls=2):
+def bench_flagship(batch=2048, n_scan=32, n_calls=2):
     step, k = _flagship_step(batch, n_scan)
     chunk = jax.jit(step)
 

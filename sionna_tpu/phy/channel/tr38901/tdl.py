@@ -138,30 +138,55 @@ class TDL(ChannelModel):
 
         sample_times = (jnp.arange(num_time_steps, dtype=rdtype)
                         / sampling_frequency)
-        sample_times = insert_dims(sample_times, 6, 0)[..., None]
 
+        # Sum-of-sinusoids in BATCH-MINOR layout: every axis of the
+        # natural [batch, ..., clusters, T, sinusoids] arrangement is
+        # small (m~23, T~14, n~20), so a trailing sinusoid dim pads
+        # 20 -> 128 TPU lanes (6.4x wasted VPU work on the cos/sin
+        # chain — the hot op of the generator).  Generating with the
+        # batch as the minor dim keeps all 128 lanes busy; one cheap
+        # transpose at the end restores the ChannelModel layout.
+        nr, nt = self._num_rx_ant, self._num_tx_ant
         doppler = jax.random.uniform(
-            k_dop, (batch_size, 1, 1, 1, 1, 1, 1, 1), rdtype,
+            k_dop, (1, 1, 1, 1, 1, batch_size), rdtype,
             self._min_doppler, self._max_doppler)
-
         theta = jax.random.uniform(
-            k_theta, (batch_size, 1, 1, 1, 1, m, 1, n), rdtype,
+            k_theta, (1, 1, m, 1, n, batch_size), rdtype,
             -PI / n, PI / n)
-        alpha = self._alpha_const + theta
-
+        alpha = (jnp.asarray(self._alpha_const.reshape(
+            1, 1, 1, 1, n, 1), rdtype) + theta)
         phi = jax.random.uniform(
-            k_phi,
-            (batch_size, 1, self._num_rx_ant, 1, self._num_tx_ant, m, 1,
-             n), rdtype, -PI, PI)
+            k_phi, (nr, nt, m, 1, n, batch_size), rdtype, -PI, PI)
 
-        argument = doppler * sample_times * jnp.cos(alpha) + phi
-        h = jnp.cos(argument) + 1j * jnp.sin(argument)
-        h = (1. / jnp.sqrt(jnp.asarray(n, rdtype))).astype(self.cdtype) \
-            * jnp.sum(h.astype(self.cdtype), axis=-1)
+        # Incremental phasor rotation over time: the argument is
+        # affine in t (arg_k = phi + k * dt * doppler cos(alpha)), so
+        # e^{j arg_k} = e^{j phi} (e^{j step})^k — transcendentals run
+        # once per (tap, sinusoid) instead of per (tap, sinusoid,
+        # time): ~T x fewer cos/sin on the hot path (exact same
+        # sum-of-sinusoids statistics; f32 drift over T steps is
+        # O(T * ulp)).
+        step = ((doppler / sampling_frequency)
+                * jnp.cos(alpha))[..., 0, :, :]    # [nr,nt,m,n,B]
+        phi0 = phi[..., 0, :, :]
+        h0 = (jnp.cos(phi0).astype(self.cdtype)
+              + 1j * jnp.sin(phi0).astype(self.cdtype))
+        rot = (jnp.cos(step).astype(self.cdtype)
+               + 1j * jnp.sin(step).astype(self.cdtype))
 
-        mean_powers = jnp.asarray(self._mean_powers, rdtype)
-        mean_powers = insert_dims(mean_powers, 5, 0)[..., None]
-        h = jnp.sqrt(mean_powers).astype(self.cdtype) * h
+        def trot(cur, _):
+            return cur * rot, jnp.sum(cur, axis=-2)
+
+        _, hb = jax.lax.scan(trot, h0, None, length=num_time_steps)
+        # hb: [T, nr, nt, m, B]
+        scale = (jnp.sqrt(jnp.asarray(self._mean_powers, rdtype))
+                 / jnp.sqrt(jnp.asarray(n, rdtype))).astype(self.cdtype)
+        hb = hb * scale.reshape(1, 1, 1, m, 1)
+        # -> [B, 1, nr, 1, nt, m, T] (ChannelModel layout)
+        h = jnp.transpose(hb, (4, 1, 2, 3, 0))[:, None, :, None]
+
+        doppler = jnp.reshape(doppler,
+                              (batch_size, 1, 1, 1, 1, 1, 1, 1))
+        sample_times = insert_dims(sample_times, 6, 0)[..., None]
 
         if self._los:
             phi_0 = jax.random.uniform(

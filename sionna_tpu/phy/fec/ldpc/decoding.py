@@ -817,7 +817,7 @@ class LDPC5GDecoder(LDPCBPDecoder):
 
 
 def _lifted_cn_phase(v2c, masks, row_edges, n_edges, dtype, clip,
-                     offset, mode, full=None):
+                     offset, mode, full=None, atanh_form="log1p"):
     """Shared CN phase of the lifted engine (XLA and Pallas paths).
 
     ``mode="minsum"``: two-minima tracking with optional offset.
@@ -873,8 +873,13 @@ def _lifted_cn_phase(v2c, masks, row_edges, n_edges, dtype, clip,
                 else:
                     ext = jnp.minimum(fwd[i - 1] * bwd[i + 1], hi)
                 # 2*atanh(x) = log1p(x) - log1p(-x); Mosaic has no
-                # atanh, and the log1p pair needs no division
-                mag = jnp.log1p(ext) - jnp.log1p(-ext)
+                # atanh, and the log1p pair needs no division.  The
+                # "ratio" form log((1+x)/(1-x)) trades one log for a
+                # divide (tuning knob).
+                if atanh_form == "ratio":
+                    mag = jnp.log((1. + ext) / (1. - ext))
+                else:
+                    mag = jnp.log1p(ext) - jnp.log1p(-ext)
                 out = sign_tot * sgn * jnp.minimum(mag, clip)
                 c2v[e] = out if full[e] else out * masks[e]
             continue
@@ -1099,7 +1104,8 @@ def _zroll(x, shift, z):
 
 
 def _lifted_pallas_decode(lifted, llr_int, num_iter, batch_tile=None,
-                          interpret=None, layered=False):
+                          interpret=None, layered=False,
+                          storage_dtype=None, atanh_form="log1p"):
     """Runs the lifted BP iteration as ONE fused Pallas kernel per
     batch tile — all ``num_iter`` iterations execute with the message
     state resident in VMEM, eliminating per-iteration HBM round trips.
@@ -1132,6 +1138,7 @@ def _lifted_pallas_decode(lifted, llr_int, num_iter, batch_tile=None,
 
     batch = llr_int.shape[0]
     dtype = llr_int.dtype
+    sdtype = dtype if storage_dtype is None else storage_dtype
     if batch_tile is None:
         # Fit the fully-unrolled per-edge temporaries into the ~16 MB
         # scoped VMEM: live set ~= 5 arrays x E_b x [tile, z_pad] f32,
@@ -1157,7 +1164,8 @@ def _lifted_pallas_decode(lifted, llr_int, num_iter, batch_tile=None,
         def cn_phase(v2c):
             return _lifted_cn_phase(v2c, masks, row_edges, len(edges),
                                     dtype, clip, offset, cn_mode,
-                                    full=edge_full)
+                                    full=edge_full,
+                                    atanh_form=atanh_form)
 
         def vn_phase(c2v):
             v2c = [None] * len(edges)
@@ -1185,7 +1193,12 @@ def _lifted_pallas_decode(lifted, llr_int, num_iter, batch_tile=None,
         zp = -(-z // 128) * 128  # lane-aligned slot stride
 
         def rd(e):
-            return v2c_ref[:, e * zp:e * zp + z]
+            v = v2c_ref[:, e * zp:e * zp + z]
+            return v if sdtype == dtype else v.astype(dtype)
+
+        def wr_slot(ref, sl, val):
+            ref[:, sl] = (val if val.dtype == ref.dtype
+                          else val.astype(ref.dtype))
 
         if layered:
             # layered (serial-C): out_ref holds the running posterior,
@@ -1193,7 +1206,7 @@ def _lifted_pallas_decode(lifted, llr_int, num_iter, batch_tile=None,
             bt = llr_ref.shape[0]
             for ei in range(n_e):
                 v2c_ref[:, ei * zp:ei * zp + z] = jnp.zeros(
-                    (bt, z), dtype)
+                    (bt, z), v2c_ref.dtype)
             for c in range(n_cols):
                 out_ref[:, c * z:(c + 1) * z] = llr[c]
 
@@ -1215,12 +1228,13 @@ def _lifted_pallas_decode(lifted, llr_int, num_iter, batch_tile=None,
                         out_ref[:, c * z:(c + 1) * z] = (
                             out_ref[:, c * z:(c + 1) * z]
                             + _zroll(delta, s, z))
-                        v2c_ref[:, e * zp:e * zp + z] = c2v_new[e]
+                        wr_slot(v2c_ref,
+                                slice(e * zp, e * zp + z), c2v_new[e])
                 return tok
         else:
             for ei, (r, c, s) in enumerate(edges):
-                v2c_ref[:, ei * zp:ei * zp + z] = _zroll(
-                    jnp.clip(llr[c], -clip, clip), -s, z)
+                wr_slot(v2c_ref, slice(ei * zp, ei * zp + z), _zroll(
+                    jnp.clip(llr[c], -clip, clip), -s, z))
             for c in range(n_cols):  # num_iter == 0 -> marginals = in
                 out_ref[:, c * z:(c + 1) * z] = llr[c]
 
@@ -1228,7 +1242,8 @@ def _lifted_pallas_decode(lifted, llr_int, num_iter, batch_tile=None,
                 c2v = cn_phase([rd(e) for e in range(n_e)])
                 v2c_new, marg = vn_phase(c2v)
                 for e in range(n_e):
-                    v2c_ref[:, e * zp:e * zp + z] = v2c_new[e]
+                    wr_slot(v2c_ref, slice(e * zp, e * zp + z),
+                            v2c_new[e])
                 for c in range(n_cols):
                     out_ref[:, c * z:(c + 1) * z] = marg[c]
                 return tok
@@ -1262,7 +1277,7 @@ def _lifted_pallas_decode(lifted, llr_int, num_iter, batch_tile=None,
         out_shape=jax.ShapeDtypeStruct((bt_total, n_cols * z), dtype),
         scratch_shapes=[
             pltpu.VMEM((batch_tile, len(edges) * (-(-z // 128) * 128)),
-                       dtype)],
+                       sdtype)],
         interpret=interpret,
     )(llr_p, masks_arr)
     return out[:batch, :lifted._num_vns]

@@ -300,48 +300,58 @@ class LDPC5GEncoder(Block):
     # ------------------------------------------------------------------
     # Encoding
     # ------------------------------------------------------------------
-    def _block_matvec(self, gidx, rowsum, x_flat):
-        """y[b, r, :] = sum_e in row r of shifted blocks of x.
-
-        gidx: [E, Z] gather map; rowsum: [E, R] one-hot;
-        x_flat: [B, C*Z]. Returns [B, R, Z] (integer-valued float).
-        """
-        gathered = jnp.take(x_flat, jnp.asarray(gidx), axis=1)
-        return jnp.einsum("bez,er->brz", gathered,
-                          jnp.asarray(rowsum, gathered.dtype))
-
     def _apply(self, x, s):
         """Circulant block action P^s: y[i] = x[(i+s) mod Z]."""
         return jnp.roll(x, -s, axis=-1)
+
+    def _rows_sum(self, entries, srcs, num_rows, batch, dtype):
+        """Per-base-row GF(2)-pre-sums of shifted column blocks:
+        y[r] = sum_{(r,c,s)} roll(srcs[c], -s).  ``srcs`` is a list of
+        [B, Z] blocks; returns a list of [B, Z] integer-valued floats.
+
+        Static rolls + unrolled adds (the lifted-decoder-engine
+        formulation): XLA fuses the add chains per row, so nothing
+        like the former [B, E, Z] gather intermediate (~0.6 GB at the
+        flagship batch) ever materializes — measured 2.4x faster at
+        batch 2048 on v5e."""
+        rs, cs, ss = entries
+        acc = [None] * num_rows
+        for r, c, s in zip(rs, cs, ss):
+            v = jnp.roll(srcs[c], -int(s), axis=-1)
+            acc[r] = v if acc[r] is None else acc[r] + v
+        z = self._z
+        return [jnp.zeros((batch, z), dtype) if a is None else a
+                for a in acc]
 
     def _encode_core(self, u_fill):
         """Full codeword [B, n_ldpc] from filler-padded info bits
         [B, k_ldpc] (before rate matching)."""
         batch = u_fill.shape[0]
         z = self._z
+        dtype = u_fill.dtype
+        xs = [u_fill[:, c * z:(c + 1) * z] for c in range(self._k_b)]
         # ---- core parities p_a via closed-form B^{-1} --------------
-        lam = self._block_matvec(self._gA, self._rA, u_fill)  # [B,4,Z]
-        lam = jnp.mod(lam, 2)
-        lam_sum = jnp.mod(jnp.sum(lam, axis=1), 2)  # [B, Z]
+        lam = [jnp.mod(a, 2) for a in
+               self._rows_sum(self._A, xs, 4, batch, dtype)]
+        lam_sum = jnp.mod(lam[0] + lam[1] + lam[2] + lam[3], 2)
         t = self._apply(lam_sum, self._pm_a + self._pm_b_inv)
         pa0 = self._apply(lam_sum, self._pm_b_inv)
-        pa1 = jnp.mod(lam[:, 0] + t, 2)
+        pa1 = jnp.mod(lam[0] + t, 2)
         if self._bg == "bg1":
-            pa2 = jnp.mod(t + lam[:, 2] + lam[:, 3], 2)
+            pa2 = jnp.mod(t + lam[2] + lam[3], 2)
         else:
-            pa2 = jnp.mod(lam[:, 0] + lam[:, 1] + t, 2)
-        pa3 = jnp.mod(t + lam[:, 3], 2)
-        p_a = jnp.stack([pa0, pa1, pa2, pa3], axis=1)  # [B, 4, Z]
+            pa2 = jnp.mod(lam[0] + lam[1] + t, 2)
+        pa3 = jnp.mod(t + lam[3], 2)
+        p_a = [pa0, pa1, pa2, pa3]
 
         # ---- extension parities p_b --------------------------------
-        pb = self._block_matvec(self._gC1, self._rC1, u_fill)
-        pb = pb + self._block_matvec(self._gC2, self._rC2,
-                                     p_a.reshape(batch, 4 * z))
-        p_b = jnp.mod(pb, 2)  # [B, m_b-4, Z]
+        pb1 = self._rows_sum(self._C1, xs, self._m_b - 4, batch, dtype)
+        pb2 = self._rows_sum(self._C2, p_a, self._m_b - 4, batch,
+                             dtype)
+        p_b = [jnp.mod(a + b, 2) for a, b in zip(pb1, pb2)]
 
-        return jnp.concatenate(
-            [u_fill, p_a.reshape(batch, 4 * z),
-             p_b.reshape(batch, -1)], axis=1)  # [B, n_ldpc]
+        return jnp.concatenate([u_fill] + p_a + p_b,
+                               axis=1)  # [B, n_ldpc]
 
     def call(self, bits):
         bits = jnp.asarray(bits)

@@ -51,6 +51,52 @@ def _gather_onehot(idx, n_src):
     return w
 
 
+def _gather_runs(idx, max_runs=8):
+    """Decomposes idx [t, s, Q] into per-(t, s) lists of consecutive
+    runs [(start, length), ...] covering idx in order, or None when
+    any (t, s) needs more than ``max_runs`` runs.  A run-decomposable
+    static gather is applied as slices + concat — zero FLOPs, exact,
+    and free of both the TPU gather unit and the one-hot matmul
+    (Kronecker pilot layouts decompose into 1-2 runs)."""
+    t, s, q = idx.shape
+    out = []
+    for i in range(t):
+        row = []
+        for j in range(s):
+            sel = idx[i, j]
+            runs = []
+            a = 0
+            while a < q:
+                b = a + 1
+                while b < q and sel[b] == sel[b - 1] + 1:
+                    b += 1
+                runs.append((int(sel[a]), b - a))
+                a = b
+            if len(runs) > max_runs:
+                return None
+            row.append(runs)
+        out.append(row)
+    return out
+
+
+def _apply_ts_runs(x, runs, t, s):
+    """Slice+concat application of a run-decomposed gather:
+    x [..., t(b), s(b), N] -> [..., t, s, Q].  t/s dims of x may be
+    broadcast (size 1)."""
+    xt = x.shape[-3] if x.ndim >= 3 else 1
+    xs = x.shape[-2] if x.ndim >= 2 else 1
+    rows = []
+    for i in range(t):
+        cols = []
+        for j in range(s):
+            v = x[..., min(i, xt - 1), min(j, xs - 1), :]
+            parts = [v[..., a:a + ln] for a, ln in runs[i][j]]
+            cols.append(jnp.concatenate(parts, axis=-1)
+                        if len(parts) > 1 else parts[0])
+        rows.append(jnp.stack(cols, axis=-2))
+    return jnp.stack(rows, axis=-3)
+
+
 def _apply_ts_matmul(x, w):
     """x: [..., t, s, N] (real or complex, t/s broadcastable);
     w: [t, s, N, Q] f32.  Returns [..., t, s, Q], exactly x
@@ -100,33 +146,52 @@ class NearestNeighborInterpolator(BaseChannelInterpolator):
         n_p = pilots.shape[-1]
         gi3 = self._gather_ind.reshape(mask_shape[0], mask_shape[1],
                                        -1)
-        self._use_onehot = (gi3.shape[0] * gi3.shape[1] * n_p
+        self._runs = _gather_runs(gi3, max_runs=4 * mask_shape[-2])
+        self._use_onehot = (self._runs is None
+                            and gi3.shape[0] * gi3.shape[1] * n_p
                             * gi3.shape[-1] <= _ONEHOT_BUDGET)
         if self._use_onehot:
             self._onehot = _gather_onehot(gi3, n_p)
 
     def __call__(self, h_hat, err_var):
         h_hat = jnp.asarray(h_hat)
-        err_var = jnp.broadcast_to(jnp.asarray(err_var), h_hat.shape)
+        # err_var is gathered at its own (possibly batch-less) shape
+        # and broadcast only at the end — it is batch-independent for
+        # scalar noise, so replicating it BEFORE the interpolation
+        # matmul wastes a full batch of MXU work
+        err_var = jnp.asarray(err_var)
+        err_var = jnp.broadcast_to(
+            err_var, err_var.shape[:-3] + h_hat.shape[-3:-1]
+            + err_var.shape[-1:])
         gi = self._gather_ind  # [tx, s, sym, eff]
         num_sym, num_eff = gi.shape[-2:]
-        if self._use_onehot:
+        if self._runs is not None:
+            def gather(x):
+                out = _apply_ts_runs(x, self._runs, gi.shape[0],
+                                     gi.shape[1])
+                return jnp.reshape(out, out.shape[:-1]
+                                   + (num_sym, num_eff))
+        elif self._use_onehot:
             def gather(x):
                 out = _apply_ts_matmul(x, self._onehot)
                 return jnp.reshape(out, out.shape[:-1]
                                    + (num_sym, num_eff))
-            return gather(h_hat), gather(err_var)
-        idx = jnp.asarray(
-            gi.reshape((1, 1, 1) + gi.shape[:-2] + (num_sym * num_eff,)))
+        else:
+            idx_full = gi.reshape(
+                (1, 1, 1) + gi.shape[:-2] + (num_sym * num_eff,))
 
-        def gather(x):
-            # x: [b, rx, rxa, tx, s, P] ->
-            # [b, rx, rxa, tx, s, sym, eff]
-            out = jnp.take_along_axis(x, idx, axis=-1)
-            return jnp.reshape(out, out.shape[:-1]
-                               + (num_sym, num_eff))
+            def gather(x):
+                # x: [..., tx, s, P] -> [..., tx, s, sym, eff]
+                idx = jnp.asarray(
+                    idx_full[(0,) * (idx_full.ndim - x.ndim)]
+                    if idx_full.ndim > x.ndim else idx_full)
+                out = jnp.take_along_axis(x, idx, axis=-1)
+                return jnp.reshape(out, out.shape[:-1]
+                                   + (num_sym, num_eff))
 
-        return gather(h_hat), gather(err_var)
+        h_out = gather(h_hat)
+        ev_out = jnp.broadcast_to(gather(err_var), h_out.shape)
+        return h_out, ev_out
 
 
 class LinearInterpolator(BaseChannelInterpolator):
@@ -236,12 +301,17 @@ class LinearInterpolator(BaseChannelInterpolator):
 
     def __call__(self, h_hat, err_var):
         h_hat = jnp.asarray(h_hat)
-        err_var = jnp.broadcast_to(jnp.asarray(err_var), h_hat.shape)
+        # batch-independent err_var (scalar noise) is interpolated at
+        # its own shape and broadcast after (see LS estimator note)
+        err_var = jnp.asarray(err_var)
+        err_var = jnp.broadcast_to(
+            err_var, err_var.shape[:-3] + h_hat.shape[-3:-1]
+            + err_var.shape[-1:])
         h_out = self._apply(h_hat)
         # interpolate error variances with the same (real) operator
         err_out = self._apply(err_var.astype(h_hat.dtype))
         err_out = jnp.maximum(jnp.real(err_out), 0.)
-        return h_out, err_out
+        return h_out, jnp.broadcast_to(err_out, h_out.shape)
 
 
 class LMMSEInterpolator(BaseChannelInterpolator):
@@ -479,7 +549,9 @@ class BaseChannelEstimator(Block):
                 pilot_ind[t, s] = np.where(mask_flat[t, s])[0]
         self._pilot_ind = pilot_ind
         n_re = mask_flat.shape[-1]
-        self._use_onehot = (pilot_ind.shape[0] * pilot_ind.shape[1]
+        self._extract_runs = _gather_runs(pilot_ind)
+        self._use_onehot = (self._extract_runs is None
+                            and pilot_ind.shape[0] * pilot_ind.shape[1]
                             * n_re * num_pilots <= _ONEHOT_BUDGET)
         if self._use_onehot:
             self._extract_onehot = _gather_onehot(pilot_ind, n_re)
@@ -493,7 +565,11 @@ class BaseChannelEstimator(Block):
         y_flat = flatten_last_dims(y_eff, 2)  # [b, rx, rxa, sym*eff]
         # gather pilots: [b, rx, rxa, tx, s, num_pilots]
         pi = self._pilot_ind  # [tx, s, P]
-        if self._use_onehot:
+        if self._extract_runs is not None:
+            y_pilots = _apply_ts_runs(
+                y_flat[..., None, None, :], self._extract_runs,
+                pi.shape[0], pi.shape[1])
+        elif self._use_onehot:
             y_pilots = _apply_ts_matmul(
                 y_flat[..., None, None, :], self._extract_onehot)
         else:
@@ -502,6 +578,14 @@ class BaseChannelEstimator(Block):
                 y_flat[..., None, None, :], idx, axis=-1)
         no = jnp.asarray(no, self.rdtype)
         h_hat, err_var = self.estimate_at_pilot_locations(y_pilots, no)
+        # NN/Linear interpolators gather err_var at its natural
+        # (batch-less) shape; other interpolators (ordered LMMSE,
+        # custom) get the documented fully-broadcast layout
+        if not isinstance(self._interpolator,
+                          (NearestNeighborInterpolator,
+                           LinearInterpolator)):
+            err_var = jnp.broadcast_to(jnp.asarray(err_var),
+                                       h_hat.shape)
         h_hat, err_var = self._interpolator(h_hat, err_var)
         return h_hat, err_var
 
@@ -518,9 +602,13 @@ class LSChannelEstimator(BaseChannelEstimator):
                          jnp.zeros_like(y_pilots), y_pilots / denom)
         no_b = expand_to_rank(no, h_ls.ndim, -1)
         p2 = jnp.abs(pilots) ** 2
+        # err_var stays UNBROADCAST (batch-independent for scalar no):
+        # the interpolators gather it at its natural shape — running
+        # the [*, num_REs, num_pilots] interpolation matmul on a
+        # batch-replicated err_var doubled the estimator's cost at
+        # the flagship shapes for bytes that are identical per batch
         err_var = jnp.where(p2 == 0, jnp.zeros_like(p2),
                             no_b / jnp.maximum(p2, 1e-30))
-        err_var = jnp.broadcast_to(err_var, h_ls.shape)
         return h_ls, err_var
 
 

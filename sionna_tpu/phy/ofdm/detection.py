@@ -61,14 +61,25 @@ class OFDMDetector(Block):
             return
         onehot = np.zeros((t, s, n_sym, eff, eff), np.float32)
         counts = np.zeros((t, s, n_sym), np.int64)
+        # contiguous data runs bypass the matmul entirely: a symbol
+        # whose data REs are consecutive (all-data symbols of a
+        # kronecker grid, guard-band interiors) is extracted with one
+        # static slice -- the identity-matrix einsum it replaces cost
+        # ~13 GFLOP per flagship Monte-Carlo iteration
+        slices = [[[None] * n_sym for _ in range(s)] for _ in range(t)]
         for i in range(t):
             for j in range(s):
                 for y in range(n_sym):
                     d_sc = np.where(mask[i, j, y] == 0)[0]
                     onehot[i, j, y, d_sc, np.arange(len(d_sc))] = 1.
                     counts[i, j, y] = len(d_sc)
+                    if len(d_sc) > 0 and np.array_equal(
+                            d_sc, np.arange(d_sc[0],
+                                            d_sc[0] + len(d_sc))):
+                        slices[i][j][y] = (int(d_sc[0]), len(d_sc))
         self._extract_onehot = onehot
         self._extract_counts = counts
+        self._extract_slices = slices
 
     def _extract_datasymbols_onehot(self, z):
         """z: [b, rx, sym, eff, s_rx] or [..., d]; returns
@@ -91,22 +102,34 @@ class OFDMDetector(Block):
         outs = []
         for i in range(sm.num_tx):
             for j in range(sm.num_streams_per_tx):
-                m = jnp.asarray(self._extract_onehot[i, j])
                 zs = z[:, i, j]  # [b, d, sym, eff]
+                sl = self._extract_slices[i][j]
+                need_mm = any(sl[y] is None
+                              and int(self._extract_counts[i, j, y]) > 0
+                              for y in range(n_sym))
+                if need_mm:
+                    m = jnp.asarray(self._extract_onehot[i, j])
 
-                def mm(x):
-                    return jnp.einsum(
-                        "bdyf,yfg->bdyg", x, m,
-                        precision=lax.Precision.HIGHEST)
+                    def mm(x):
+                        return jnp.einsum(
+                            "bdyf,yfg->bdyg", x, m,
+                            precision=lax.Precision.HIGHEST)
 
-                if is_complex:
-                    slots = lax.complex(mm(jnp.real(zs)),
-                                        mm(jnp.imag(zs)))
-                else:
-                    slots = mm(zs)
-                parts = [slots[:, :, y, :int(self._extract_counts[i, j, y])]
-                         for y in range(n_sym)
-                         if int(self._extract_counts[i, j, y]) > 0]
+                    if is_complex:
+                        slots = lax.complex(mm(jnp.real(zs)),
+                                            mm(jnp.imag(zs)))
+                    else:
+                        slots = mm(zs)
+                parts = []
+                for y in range(n_sym):
+                    c = int(self._extract_counts[i, j, y])
+                    if c == 0:
+                        continue
+                    if sl[y] is not None:
+                        st, c2 = sl[y]
+                        parts.append(zs[:, :, y, st:st + c2])
+                    else:
+                        parts.append(slots[:, :, y, :c])
                 outs.append(jnp.concatenate(parts, axis=-1)
                             if len(parts) > 1 else parts[0])
         out = jnp.stack(outs, axis=1)  # [b, t*s, d, n_data]
@@ -177,22 +200,35 @@ class OFDMDetector(Block):
         outs = []
         for i in range(sm.num_tx):
             for j in range(sm.num_streams_per_tx):
-                m = jnp.asarray(self._extract_onehot[i, j])
                 zs = ordered[i * sm.num_streams_per_tx + j]
+                sl = self._extract_slices[i][j]
+                n_sym_p = zs.shape[1]
+                need_mm = any(sl[y] is None
+                              and int(self._extract_counts[i, j, y]) > 0
+                              for y in range(n_sym_p))
+                if need_mm:
+                    m = jnp.asarray(self._extract_onehot[i, j])
 
-                def mm(x):
-                    return jnp.einsum(
-                        "byf,yfg->byg", x, m,
-                        precision=lax.Precision.HIGHEST)
+                    def mm(x):
+                        return jnp.einsum(
+                            "byf,yfg->byg", x, m,
+                            precision=lax.Precision.HIGHEST)
 
-                if jnp.iscomplexobj(zs):
-                    slots = lax.complex(mm(jnp.real(zs)),
-                                        mm(jnp.imag(zs)))
-                else:
-                    slots = mm(zs)
-                parts = [slots[:, y, :int(self._extract_counts[i, j, y])]
-                         for y in range(zs.shape[1])
-                         if int(self._extract_counts[i, j, y]) > 0]
+                    if jnp.iscomplexobj(zs):
+                        slots = lax.complex(mm(jnp.real(zs)),
+                                            mm(jnp.imag(zs)))
+                    else:
+                        slots = mm(zs)
+                parts = []
+                for y in range(n_sym_p):
+                    c = int(self._extract_counts[i, j, y])
+                    if c == 0:
+                        continue
+                    if sl[y] is not None:
+                        st, c2 = sl[y]
+                        parts.append(zs[:, y, st:st + c2])
+                    else:
+                        parts.append(slots[:, y, :c])
                 outs.append(jnp.concatenate(parts, axis=-1)
                             if len(parts) > 1 else parts[0])
         out = jnp.stack(outs, axis=1)

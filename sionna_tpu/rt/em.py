@@ -204,6 +204,18 @@ def blocker_candidates(orig, dirs, d_hat, tri, n_tri, eid, th_tri,
     }
 
 
+def sort_blocker_slots(cand):
+    """Sorts candidate slot fields ascending in crossing parameter t
+    (non-blockers carry t = +inf and sort last) with ONE fused
+    variadic ``lax.sort`` — measured far cheaper than the top_k +
+    per-field ``take_along_axis`` formulation that originally made
+    exact ordering 5x the evaluation cost on TPU."""
+    t, cos_i, c, s, eid = jax.lax.sort(
+        (cand["t"], cand["cos_i"], cand["c"], cand["s"],
+         cand["eid"]), dimension=1, num_keys=1)
+    return {"t": t, "cos_i": cos_i, "c": c, "s": s, "eid": eid}
+
+
 def merge_blocker_slots(slots, cand):
     """Keeps the K smallest-t entries of slots ++ candidates,
     ascending in t (along-ray crossing order)."""
@@ -405,15 +417,17 @@ def transmission_jones_product(orig, dirs, tri, eta_tri, th_tri, lam,
     polarization-averaged scalar of :func:`transmission_product` is
     exact only at normal incidence.
 
-    Ordering: the dense sweep applies factors in triangle-index
-    order — exact t-ordering would need a per-ray sort whose top_k +
-    gather cost measured 5x the whole evaluation on TPU for small
-    scenes.  The commutator lives only in the cross-polarization
-    terms (measured max ~ -44 dB against a crossing-order oracle on
-    a city scene; see tests/test_rt_refraction.py).  The accel path
-    (large scenes) applies factors in true crossing order via its
-    K-nearest-blocker slots.  With ``accel``, the query runs through
-    the clustered structure (see accel.py)."""
+    Ordering: both paths apply factors in true along-ray crossing
+    order.  The dense sweep sorts its candidate slots ascending in t
+    with one fused variadic ``lax.sort`` (round 5 — the previous
+    index-order approximation measured up to -28 dB commutator error
+    on adversarial tilted-slab stacks, vs the -44 dB one-scene
+    anecdote it was bounded by); the accel path (large scenes) has
+    crossing order by construction via its K-nearest-blocker slots.
+    For the rare multi-chunk dense case (no accel and > 16M
+    ray-triangle pairs) ordering is exact within each chunk and
+    chunk-major across chunks.  With ``accel``, the query runs
+    through the clustered structure (see accel.py)."""
     if accel is not None:
         from .accel import transmission_jones_product_accel
         return transmission_jones_product_accel(
@@ -425,7 +439,13 @@ def transmission_jones_product(orig, dirs, tri, eta_tri, th_tri, lam,
         cand = blocker_candidates(
             orig, dirs, d_hat, tri_k, n_k, id_k, th_tri,
             e_a, e_b, excl_ids)
-        return jones_from_slots(cand, eta_tri, th_tri, lam)
+        # exact along-ray crossing order (one fused variadic sort):
+        # the commutator of index-order factors lives in the
+        # cross-polarization terms and measured up to -28 dB on
+        # adversarial tilted-slab stacks — too large against the
+        # 0.1 dB parity budget to keep as an approximation
+        return jones_from_slots(sort_blocker_slots(cand), eta_tri,
+                                th_tri, lam)
 
     if tri_c.shape[0] == 1:
         return chunk_jones(tri_c[0], n_c[0], ids[0])

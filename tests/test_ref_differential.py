@@ -71,6 +71,11 @@ SLOW = [
     "nr/pusch_receiver_e2e",
     "ofdm/rzf_precoded_channel_post_eq_sinr",
     "e2e/cdl_mimo_ofdm_ber",
+    # round-5 additions (VERDICT r4 #5, #7, #8)
+    "tr38901/system_level_uma_composed",
+    "tr38901/system_level_umi_composed",
+    "sys/link_adaptation_illa_olla",
+    "sys/hexgrid_wraparound",
 ]
 
 

@@ -1042,6 +1042,150 @@ def tr38901_cdl():
     return {"max_err": worst, "per_model": details}
 
 
+def _composed_system_level(mk_ref, mk_tpu, seed):
+    """Shared body for the composed system-level differentials: the
+    FULL chain LSP -> rays -> coefficients of both frameworks on one
+    fixed topology, compared as statistical objects per (bs, ut) link
+    (each framework draws its own RNG; batch-averaged moments must
+    agree).  Shadow fading is disabled (its lognormal variance would
+    need a huge batch); pathloss stays on, so per-link mean power is
+    anchored by the deterministic pathloss."""
+    import tensorflow as tf
+    import sionna.phy.channel.tr38901.system_level_scenario as ref_sls
+
+    batch, nb_ut, nb_bs = 64, 3, 2
+    num_t, fs = 32, 500.0
+    fft, scs = 33, 600e3     # freq-correlation probe grid
+
+    topo = _tr38901_topology(91, batch=batch, nb_ut=nb_ut,
+                             nb_bs=nb_bs)
+
+    def stats(a, tau):
+        a = np.asarray(a)          # [b, rx, rxa, tx, txa, P, T]
+        tau = np.asarray(tau)      # [b, rx, tx, P] (or unbatched)
+        if tau.ndim == 3:
+            tau = np.broadcast_to(tau[None], a.shape[:1] + tau.shape)
+        p = np.mean(np.abs(a) ** 2, axis=(2, 4, 6))   # [b, rx, tx, P]
+        ptot = p.sum(-1)                              # [b, rx, tx]
+        mean_pow = ptot.mean(0)                       # [rx, tx]
+        # power-weighted RMS delay spread per link, batch-averaged
+        tbar = (p * tau).sum(-1) / np.maximum(ptot, 1e-30)
+        t2 = (p * tau ** 2).sum(-1) / np.maximum(ptot, 1e-30)
+        ds = np.sqrt(np.maximum(t2 - tbar ** 2, 0.))
+        mean_ds = ds.mean(0)
+        # frequency correlation |R(df)| over an fft-point probe grid
+        f = (np.arange(fft) - fft // 2) * scs
+        ph = np.exp(-2j * np.pi * f[:, None]
+                    * tau[..., None, :])              # [b,rx,tx,F,P]
+        a0 = a[..., 0]                                # [b,rx,rxa,tx,txa,P]
+        h = np.einsum("brmtnp,brtfp->brmtnf", a0, ph)
+        num = np.mean(h[..., :-4] * np.conj(h[..., 4:]),
+                      axis=(0, 2, 4, 5))
+        den = np.mean(np.abs(h) ** 2, axis=(0, 2, 4, 5))
+        fcorr = np.abs(num) / np.maximum(den, 1e-30)  # [rx, tx]
+        # time autocorrelation at lag L/2 (Doppler fingerprint)
+        lag = num_t // 2
+        num_t_ = np.mean(a[..., :num_t - lag]
+                         * np.conj(a[..., lag:]), axis=(0, 2, 4, 5, 6))
+        den_t = np.mean(np.abs(a) ** 2, axis=(0, 2, 4, 5, 6))
+        tcorr = np.abs(num_t_) / np.maximum(den_t, 1e-30)
+        return mean_pow, mean_ds, fcorr, tcorr
+
+    # upstream-bug patch (see tr38901_scenario_pathloss_lsp): the
+    # reference's public distance_3d returns _distance_2d
+    orig_d3d = ref_sls.SystemLevelScenario.distance_3d
+    ref_sls.SystemLevelScenario.distance_3d = property(
+        lambda self: self._distance_3d)
+    try:
+        details = {}
+        worst = 0.0
+        for los in (True, False):
+            r_ch = mk_ref()
+            t_ch = mk_tpu()
+            r_ch.set_topology(los=los, **{
+                k: (tf.constant(v, tf.float64)
+                    if isinstance(v, np.ndarray) and v.dtype != bool
+                    else v) for k, v in topo.items()})
+            t_ch.set_topology(los=los, **topo)
+            ra, rtau = r_ch(num_t, fs)
+            ta, ttau = t_ch(batch, num_t, fs)
+            rp, rds, rfc, rtc = stats(ra.numpy(), rtau.numpy())
+            tp, tds, tfc, ttc = stats(ta, ttau)
+            e_pow = float(np.max(np.abs(np.log10(
+                tp / np.maximum(rp, 1e-300)))))       # decades
+            e_ds = float(np.max(np.abs(tds - rds)
+                                / np.maximum(rds, 1e-12)))
+            e_fc = float(np.max(np.abs(tfc - rfc)))
+            e_tc = float(np.max(np.abs(ttc - rtc)))
+            details[f"los{los}"] = {
+                "power_decades": e_pow, "delay_spread_rel": e_ds,
+                "freq_corr": e_fc, "time_corr": e_tc}
+            worst = max(worst, e_pow, e_ds, e_fc, e_tc)
+    finally:
+        ref_sls.SystemLevelScenario.distance_3d = orig_d3d
+    return {"max_err": worst, **details}
+
+
+def _composed_arrays(ref_mod, tpu_mod, fc):
+    """Omni single-pol arrays for the composed checks: the antenna
+    pattern itself is already differentially validated (step-11 on
+    injected rays uses 38.901 dual-pol); omni keeps the batch-64
+    statistical comparison free of 30 dB pattern-null variance."""
+    kw = dict(num_rows_per_panel=1, num_cols_per_panel=2,
+              polarization="single", polarization_type="V",
+              antenna_pattern="omni", carrier_frequency=fc,
+              precision="double")
+    ut_kw = dict(num_rows_per_panel=1, num_cols_per_panel=1,
+                 polarization="single", polarization_type="V",
+                 antenna_pattern="omni", carrier_frequency=fc,
+                 precision="double")
+    return (ref_mod.PanelArray(**kw), ref_mod.PanelArray(**ut_kw),
+            tpu_mod.PanelArray(**kw), tpu_mod.PanelArray(**ut_kw))
+
+
+@check("tr38901/system_level_uma_composed", tol=0.12,
+       anchor="src/sionna/phy/channel/tr38901/system_level_channel.py"
+              ":172 (full composed UMa chain LSP->rays->coefficients "
+              "as one statistical object)")
+def tr38901_system_level_uma_composed():
+    """Composed UMa end-to-end: per-link batch-mean total power
+    (anchored by pathloss, in decades), RMS delay spread, frequency
+    correlation and Doppler autocorrelation of
+    ``SystemLevelChannel.__call__`` must agree across frameworks —
+    this is the check that catches coupling/shuffle/XPR bugs hiding
+    between the per-stage differentials."""
+    import sionna.phy.channel.tr38901 as ref_t
+    import sionna_tpu.phy.channel.tr38901 as tpu_t
+    fc = 3.5e9
+    ra_bs, ra_ut, ta_bs, ta_ut = _composed_arrays(ref_t, tpu_t, fc)
+    return _composed_system_level(
+        lambda: ref_t.UMa(fc, "low", ra_ut, ra_bs, "uplink",
+                          enable_shadow_fading=False,
+                          precision="double"),
+        lambda: tpu_t.UMa(fc, "low", ta_ut, ta_bs, "uplink",
+                          enable_shadow_fading=False,
+                          precision="double"),
+        seed=91)
+
+
+@check("tr38901/system_level_umi_composed", tol=0.12,
+       anchor="src/sionna/phy/channel/tr38901/system_level_channel.py"
+              ":172 (full composed UMi chain, downlink)")
+def tr38901_system_level_umi_composed():
+    import sionna.phy.channel.tr38901 as ref_t
+    import sionna_tpu.phy.channel.tr38901 as tpu_t
+    fc = 3.5e9
+    ra_bs, ra_ut, ta_bs, ta_ut = _composed_arrays(ref_t, tpu_t, fc)
+    return _composed_system_level(
+        lambda: ref_t.UMi(fc, "low", ra_ut, ra_bs, "downlink",
+                          enable_shadow_fading=False,
+                          precision="double"),
+        lambda: tpu_t.UMi(fc, "low", ta_ut, ta_bs, "downlink",
+                          enable_shadow_fading=False,
+                          precision="double"),
+        seed=92)
+
+
 # ---------------------------------------------------------------------------
 # nr: 5G NR transport-block chain + DMRS
 # ---------------------------------------------------------------------------
@@ -1268,6 +1412,154 @@ def sys_pf_scheduler():
     return {"max_err": worst}
 
 
+@check("sys/link_adaptation_illa_olla", tol=1e-5,
+       anchor="src/sionna/sys/link_adaptation.py:17,267 "
+              "(InnerLoop/OuterLoopLinkAdaptation on identical "
+              "SINR + HARQ traces)")
+def sys_link_adaptation():
+    """ILLA and OLLA through both frameworks on IDENTICAL effective
+    SINR and HARQ feedback traces: the per-slot MCS decisions must
+    agree exactly (integer argmax over md5-identical BLER tables) and
+    the OLLA offset trajectories to float rounding."""
+    import tensorflow as tf
+    from sionna.sys import (PHYAbstraction as RefPA,
+                            InnerLoopLinkAdaptation as RefILLA,
+                            OuterLoopLinkAdaptation as RefOLLA)
+    from sionna_tpu.sys import (PHYAbstraction as TpuPA,
+                                InnerLoopLinkAdaptation as TpuILLA,
+                                OuterLoopLinkAdaptation as TpuOLLA)
+    g = rng(71)
+    r_pa = RefPA()
+    t_pa = TpuPA()
+    num_ut = 8
+    worst = 0.0
+    details = {}
+
+    # --- ILLA: deterministic highest-MCS-under-target search
+    sinr_eff = 10 ** g.uniform(-1.5, 2.5, (3, num_ut))
+    n_re = g.integers(20, 4000, (3, num_ut))
+    mism = 0
+    for ti in (1, 2):
+        r_illa = RefILLA(r_pa, bler_target=0.1)
+        t_illa = TpuILLA(t_pa, bler_target=0.1)
+        r_mcs = r_illa(sinr_eff=tf.constant(sinr_eff, tf.float32),
+                       num_allocated_re=tf.constant(n_re, tf.int32),
+                       mcs_table_index=ti).numpy()
+        t_mcs = np.asarray(t_illa(
+            sinr_eff=sinr_eff.astype(np.float32),
+            num_allocated_re=n_re.astype(np.int32),
+            mcs_table_index=ti))
+        mism += int(np.sum(r_mcs.astype(np.int64)
+                           != t_mcs.astype(np.int64)))
+    details["illa_mcs_mismatches"] = mism
+    worst = max(worst, float(mism))
+
+    # --- OLLA: stateful offset adaptation over a 12-slot trace
+    r_olla = RefOLLA(r_pa, num_ut, bler_target=0.1, delta_up=1.)
+    t_olla = TpuOLLA(t_pa, num_ut, bler_target=0.1, delta_up=1.)
+    olla_mism = 0
+    e_off = 0.0
+    n_re_t = g.integers(20, 2000, (num_ut,))
+    for slot in range(12):
+        harq = g.integers(-1, 2, (num_ut,))
+        sinr = np.where(g.random(num_ut) < 0.8,
+                        10 ** g.uniform(-1., 2., (num_ut,)), 0.)
+        r_mcs = r_olla(tf.constant(n_re_t, tf.int32),
+                       harq_feedback=tf.constant(harq, tf.int32),
+                       sinr_eff=tf.constant(sinr, tf.float32)).numpy()
+        t_mcs = np.asarray(t_olla(
+            n_re_t.astype(np.int32),
+            harq_feedback=harq.astype(np.int32),
+            sinr_eff=sinr.astype(np.float32)))
+        olla_mism += int(np.sum(r_mcs.astype(np.int64)
+                                != t_mcs.astype(np.int64)))
+        e_off = max(e_off, maxerr(r_olla.offset.numpy(),
+                                  t_olla.offset))
+    details["olla_mcs_mismatches"] = olla_mism
+    details["olla_offset_err"] = e_off
+    worst = max(worst, float(olla_mism), e_off)
+    return {"max_err": worst, **details}
+
+
+@check("sys/hexgrid_wraparound", tol=0.05,
+       anchor="src/sionna/sys/topology.py:384,998 (HexGrid "
+              "wraparound geometry exact; UT drop statistics)")
+def sys_hexgrid():
+    """Hex grid geometry: cell centers and the 7 mirror-grid
+    displacement tables must match exactly (deterministic), the
+    wraparound distance of a FIXED injected drop must match through
+    both frameworks' mirror tables, and the random UT drop statistics
+    (radial law, wraparound-distance moments) must agree."""
+    import tensorflow as tf
+    from sionna.sys.topology import HexGrid as RefGrid
+    from sionna_tpu.sys.topology import HexGrid as TpuGrid
+    import sionna.phy.config as ref_cfg
+
+    worst = 0.0
+    details = {}
+    for num_rings, isd in ((1, 200.), (2, 500.)):
+        r_g = RefGrid(num_rings=num_rings, isd=isd, cell_height=25.)
+        t_g = TpuGrid(num_rings=num_rings, isd=isd, cell_height=25.)
+        e_cell = maxerr(r_g.cell_loc.numpy(),
+                        np.asarray(t_g.cell_loc)) / isd
+        e_mirror = maxerr(
+            np.sort(np.asarray(r_g.mirror_cell_loc).reshape(-1, 3),
+                    axis=0),
+            np.sort(np.asarray(t_g.mirror_cell_loc).reshape(-1, 3),
+                    axis=0)) / isd
+        # fixed injected drop -> wraparound distance via each side's
+        # own mirror table (min over 6 mirror grids + base)
+        g = rng(num_rings)
+        pts = np.concatenate([
+            g.uniform(-1.5 * isd, 1.5 * isd, (64, 2)),
+            np.full((64, 1), 1.5)], axis=-1)
+
+        def wrap_dist(mirror):      # mirror: [cells, 7, 3]
+            m = np.asarray(mirror, np.float64)
+            d = np.linalg.norm(pts[:, None, None, :2] - m[None, :, :, :2],
+                               axis=-1)
+            return d.min(-1)        # [64, cells]
+
+        e_wrap = maxerr(wrap_dist(r_g.mirror_cell_loc),
+                        wrap_dist(t_g.mirror_cell_loc)) / isd
+        details[f"rings{num_rings}"] = {
+            "cell_loc": e_cell, "mirror_tables": e_mirror,
+            "wraparound_fixed_drop": e_wrap}
+        worst = max(worst, e_cell, e_mirror, e_wrap)
+
+    # random-drop statistics (each framework its own RNG, seeded for
+    # determinism of the check itself)
+    ref_cfg.config.seed = 4242
+    import sionna_tpu.phy.config as tpu_cfg
+    tpu_cfg.config.seed = 4242
+    r_g = RefGrid(num_rings=1, isd=200., cell_height=25.)
+    t_g = TpuGrid(num_rings=1, isd=200., cell_height=25.)
+    r_ut, _, r_wd = r_g(300, 4, min_bs_ut_dist=10.,
+                        min_ut_height=1.5, max_ut_height=1.5)
+    t_ut, _, t_wd = t_g(300, 4, min_bs_ut_dist=10.,
+                        min_ut_height=1.5, max_ut_height=1.5)
+    r_ut, r_wd = r_ut.numpy(), r_wd.numpy()
+    t_ut, t_wd = np.asarray(t_ut), np.asarray(t_wd)
+    # radial distance from serving BS: mean + std of the sqrt-uniform
+    # law; wraparound distance moments
+    r_rad = np.linalg.norm(
+        r_ut[..., :2] - np.asarray(
+            r_g.cell_loc)[None, :, None, None, :2], axis=-1)
+    t_rad = np.linalg.norm(
+        t_ut[..., :2] - np.asarray(
+            t_g.cell_loc)[None, :, None, None, :2], axis=-1)
+    stats = {}
+    for tag, (rv, tv) in (("radial", (r_rad, t_rad)),
+                          ("wraparound", (r_wd, t_wd))):
+        e_mean = abs(tv.mean() - rv.mean()) / rv.mean()
+        e_std = abs(tv.std() - rv.std()) / rv.std()
+        stats[tag] = {"mean_rel": float(e_mean),
+                      "std_rel": float(e_std)}
+        worst = max(worst, float(e_mean), float(e_std))
+    details["drop_stats"] = stats
+    return {"max_err": worst, **details}
+
+
 @check("sys/fair_power_control", tol=1e-3,
        anchor="src/sionna/sys/power_control.py:161 "
               "(downlink_fair_power_control, bisection)")
@@ -1387,14 +1679,18 @@ def e2e_coded_awgn():
                           for e, r, t in pairs]}
 
 
-@check("e2e/cdl_mimo_ofdm_ber", tol=0.2,
+@check("e2e/cdl_mimo_ofdm_ber", tol=0.15,
        anchor="reference end-to-end (test/integration/"
               "test_mimo_ofdm_cdl.py wiring): CDL-C uplink, LS-nn + "
-              "LMMSE + LDPC; BER parity in decades at 2 SNR points")
+              "LMMSE + LDPC; BER parity in decades at 3 SNR points "
+              "incl. a deep point with >= 200 errors per side")
 def e2e_cdl_mimo_ofdm():
     """Full MIMO-OFDM links over each framework's own CDL-C channel
-    (independent RNG): Monte-Carlo BER must agree within 0.2 decades
-    at SNR points chosen so both sides keep BER >= 1e-2."""
+    (independent RNG): Monte-Carlo BER must agree within 0.15
+    decades at 3 SNR points.  The deepest point sits in the BER~1e-3
+    waterfall with enough Monte-Carlo volume that each side counts
+    >= 200 bit errors — the check reports the counts and fails if a
+    point goes information-free."""
     import tensorflow as tf
     import sionna.phy as ref
     import sionna_tpu.phy as tpu
@@ -1485,15 +1781,22 @@ def e2e_cdl_mimo_ofdm():
 
     worst = 0.0
     pairs = []
-    for ebno in (2.0, 4.0):
-        rb = np.mean([ref_ber(ebno, 300 + j) for j in range(4)])
-        tb = np.mean([tpu_ber(ebno, 400 + j) for j in range(4)])
-        pairs.append((ebno, float(rb), float(tb)))
-        if rb > 0 and tb > 0:
-            worst = max(worst, abs(np.log10(tb / rb)))
+    bits_per_rep = batch * num_ut_ant * rm["k"]
+    # reps scaled so the deepest (~1e-3) point still counts >= 200
+    # errors per side
+    for ebno, reps in ((2.0, 4), (4.0, 4), (7.0, 10)):
+        rb = np.mean([ref_ber(ebno, 300 + j) for j in range(reps)])
+        tb = np.mean([tpu_ber(ebno, 400 + j) for j in range(reps)])
+        n_err_ref = rb * bits_per_rep * reps
+        n_err_tpu = tb * bits_per_rep * reps
+        pairs.append((ebno, float(rb), float(tb),
+                      int(n_err_ref), int(n_err_tpu)))
+        if min(n_err_ref, n_err_tpu) < 200:
+            worst = max(worst, 1.0)   # information-free point
         else:
-            worst = max(worst, 1.0)
-    return {"max_err": worst, "ber_pairs": pairs}
+            worst = max(worst, abs(np.log10(tb / rb)))
+    return {"max_err": worst,
+            "ber_pairs_with_counts": pairs}
 
 
 # ---------------------------------------------------------------------------
