@@ -341,27 +341,37 @@ def bench_rt():
 
     solver = PathSolver()
     max_depth, samples = 3, 200_000
-    # warmup with identical shapes: the timed run then reuses the
-    # compiled stage executables (content-keyed jit cache)
-    solver(scene, max_depth=max_depth, samples_per_src=samples)
-    t0 = time.perf_counter()
-    paths = solver(scene, max_depth=max_depth,
-                   samples_per_src=samples)
-    a, tau = paths.cir(out_type="numpy")
-    dt = time.perf_counter() - t0
+
+    def median_time(fn, reps=3):
+        # benchmark protocol (docs/PERFORMANCE.md): warmup once, then
+        # median of >= 3 host-synced reps — single-shot RT timings
+        # through the tunnel jitter by >10%
+        fn()
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2]
+
+    def canyon_solve():
+        paths = solver(scene, max_depth=max_depth,
+                       samples_per_src=samples)
+        paths.cir(out_type="numpy")
+
+    dt = median_time(canyon_solve)
     rays_per_s = samples * (max_depth + 1) / dt
 
     rm_solver = RadioMapSolver()
     rm_size = (200, 200)
-    rm = rm_solver(scene, cell_size=(1., 1.), size=rm_size,
-                   center=(0., 0., 1.5), max_depth=2,
-                   samples_per_src=100_000)
-    t0 = time.perf_counter()
-    rm = rm_solver(scene, cell_size=(1., 1.), size=rm_size,
-                   center=(0., 0., 1.5), max_depth=2,
-                   samples_per_src=100_000)
-    np.asarray(rm.path_gain)
-    dt_rm = time.perf_counter() - t0
+
+    def rm_solve():
+        rm = rm_solver(scene, cell_size=(1., 1.), size=rm_size,
+                       center=(0., 0., 1.5), max_depth=2,
+                       samples_per_src=100_000)
+        np.asarray(rm.path_gain)
+
+    dt_rm = median_time(rm_solve)
     # city-scale stress geometry (>=100k triangles, munich-class)
     from sionna_tpu.rt import make_city
     city = make_city(10, 10, subdiv=10)
@@ -372,12 +382,13 @@ def bench_rt():
     # 100k rays x depth 2 over 100k triangles: the clustered accel
     # structure (rt/accel.py) makes this the throughput sweet spot
     c_samples, c_depth = 100_000, 2
-    solver(city, max_depth=c_depth, samples_per_src=c_samples)
-    t0 = time.perf_counter()
-    paths = solver(city, max_depth=c_depth,
-                   samples_per_src=c_samples)
-    np.asarray(paths.tau)
-    dt_city = time.perf_counter() - t0
+
+    def city_solve():
+        paths = solver(city, max_depth=c_depth,
+                       samples_per_src=c_samples)
+        np.asarray(paths.tau)
+
+    dt_city = median_time(city_solve)
     city_rays = c_samples * (c_depth + 1) / dt_city
 
     return [{

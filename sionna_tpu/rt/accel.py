@@ -12,7 +12,11 @@ a two-level dense scheme instead:
     ``C`` (padding only the single global tail cluster).
 2.  On device, a query slab-tests every ray against every cluster
     AABB — one dense ``[R, n_clusters]`` VPU computation — selects
-    each ray's ``k_max`` nearest-entry clusters with ``lax.top_k``,
+    each ray's ``k_max`` nearest-entry clusters with ``lax.top_k``
+    (default 32, round-5 retune: the 100k-triangle city nearest-hit
+    measured 354 -> 226 ms/100k rays vs k_max=64, with the dense
+    repair pass still rare; exactness is certificate-guaranteed at
+    ANY k_max),
     and Moller-Trumbore-tests them in a fixed-trip ``lax.scan``,
     ``group`` gathered clusters per step.  Control flow is fully
     static: data-dependent ``while_loop`` steps cost ~1 ms of host
@@ -349,7 +353,7 @@ def _dense_sweep(o, d, accel, mode, excl=None, tri_chunk_clusters=128):
 
 
 def nearest_hit_accel(orig, dirs, accel, ray_chunk=8192, group=16,
-                      k_max=64):
+                      k_max=32):
     """Nearest intersection per ray through the cluster structure.
 
     Control flow is static — this backend pays ~1 ms of host-sync
@@ -428,7 +432,7 @@ def nearest_hit_accel(orig, dirs, accel, ray_chunk=8192, group=16,
 
 
 def any_blocking_hit_accel(orig, dirs, accel, excl_ids=None,
-                           ray_chunk=8192, group=16, k_max=64):
+                           ray_chunk=8192, group=16, k_max=32):
     """Segment occlusion through the cluster structure.
 
     Same semantics as solver.any_blocking_hit: whether the segment
@@ -504,7 +508,7 @@ def any_blocking_hit_accel(orig, dirs, accel, excl_ids=None,
 
 def _collect_blockers_accel(orig, dirs, accel, th_tri, e_a=None,
                             e_b=None, excl_ids=None, ray_chunk=8192,
-                            group=16, k_max=64):
+                            group=16, k_max=32):
     """Blocker-slot collection through the cluster structure: the K
     nearest-t blocking triangles of each segment [orig, orig+dirs]
     (see em.py's blocker-slot note).  Only cheap SoA geometry runs in
@@ -625,7 +629,7 @@ def _collect_blockers_accel(orig, dirs, accel, th_tri, e_a=None,
 
 def transmission_product_accel(orig, dirs, accel, eta_tri, th_tri,
                                lam, excl_ids=None, ray_chunk=8192,
-                               group=16, k_max=64):
+                               group=16, k_max=32):
     """Complex polarization-averaged slab-transmission product of
     each segment through EVERY blocking triangle, via the cluster
     structure (the ``refraction`` analog of
@@ -734,7 +738,7 @@ def transmission_product_accel(orig, dirs, accel, eta_tri, th_tri,
 def transmission_jones_product_accel(orig, dirs, accel, eta_tri,
                                      th_tri, lam, e_a, e_b,
                                      excl_ids=None, ray_chunk=8192,
-                                     group=16, k_max=64):
+                                     group=16, k_max=32):
     """Polarimetric analog of :func:`transmission_product_accel`:
     the ordered 2x2 Jones cascade of per-blocker TE/TM slab
     coefficients (see :func:`em.transmission_jones_product`) through

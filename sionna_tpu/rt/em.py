@@ -204,15 +204,23 @@ def blocker_candidates(orig, dirs, d_hat, tri, n_tri, eid, th_tri,
     }
 
 
-def sort_blocker_slots(cand):
+def sort_blocker_slots(cand, k_keep=DEFAULT_K_BLOCKERS):
     """Sorts candidate slot fields ascending in crossing parameter t
     (non-blockers carry t = +inf and sort last) with ONE fused
     variadic ``lax.sort`` — measured far cheaper than the top_k +
     per-field ``take_along_axis`` formulation that originally made
-    exact ordering 5x the evaluation cost on TPU."""
+    exact ordering 5x the evaluation cost on TPU.
+
+    Keeps only the ``k_keep`` nearest slots (the accel path's K —
+    same truncation argument: each dropped slab factor has |t| < 1,
+    so a path 16+ walls deep is only overestimated), which caps the
+    downstream slab-transcendental work per segment."""
     t, cos_i, c, s, eid = jax.lax.sort(
         (cand["t"], cand["cos_i"], cand["c"], cand["s"],
          cand["eid"]), dimension=1, num_keys=1)
+    if k_keep is not None and t.shape[1] > k_keep:
+        t, cos_i, c, s, eid = (x[:, :k_keep]
+                               for x in (t, cos_i, c, s, eid))
     return {"t": t, "cos_i": cos_i, "c": c, "s": s, "eid": eid}
 
 

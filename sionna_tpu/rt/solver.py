@@ -226,9 +226,17 @@ class PathSolver:
                 if pat is not None:
                     fp.update(repr(pat.canonical()).encode())
         fp.update(b"refr1" if refraction else b"refr0")
-        for dev in txs + rxs:
-            fp.update(dev.orientation.tobytes())
-            fp.update(dev.velocity.tobytes())
+        # vectorized device metadata (a per-device Python loop costs
+        # ~2 us/device — radio maps carry tens of thousands of cell
+        # receivers, and this runs per solve)
+        dev_orient = np.stack([d.orientation for d in txs + rxs])
+        dev_vel = np.stack([d.velocity for d in txs + rxs])
+        fp.update(np.ascontiguousarray(dev_orient).tobytes())
+        fp.update(np.ascontiguousarray(dev_vel).tobytes())
+        n_tx_d = len(txs)
+        rx_uniform = bool(
+            np.all(dev_orient[n_tx_d:] == dev_orient[n_tx_d:n_tx_d+1])
+            and np.all(dev_vel[n_tx_d:] == dev_vel[n_tx_d:n_tx_d+1]))
         for arr in (scene.tx_array, scene.rx_array):
             fp.update(repr((arr.num_rows, arr.num_cols,
                             arr.vertical_spacing,
@@ -274,7 +282,8 @@ class PathSolver:
                         eta_j, scat_j, txs, rxs, th_tri=th_j,
                         refraction=refraction,
                         dense_links=gain_mode,
-                        output_gain=gain_mode)
+                        output_gain=gain_mode,
+                        rx_uniform=rx_uniform)
                     for k, v in o.items():
                         outs[f"{k}__{i}"] = v
                 return outs
@@ -562,7 +571,8 @@ class PathSolver:
     def _eval_sequences(self, scene, tri, normals, seq, tx_pos,
                         rx_pos, eta_tri, scat_tri, txs, rxs,
                         th_tri=None, refraction=False,
-                        dense_links=False, output_gain=False):
+                        dense_links=False, output_gain=False,
+                        rx_uniform=None):
         """Evaluates all [S] reflection sequences of equal depth D for
         all TX/RX pairs.  Returns per-path fields with S paths.
 
@@ -634,10 +644,19 @@ class PathSolver:
         # evaluation if the valid count exceeds the cap.  Gated on a
         # single TX and uniform RX devices so the combine stage can
         # use one representative device.
+        if rx_uniform is None:
+            rx_uniform = _uniform_devices(rxs)
         if (output_gain and num_tx == 1
                 and big_r > GAIN_COMPACT_MIN_PAIRS
-                and _uniform_devices(rxs)):
-            cap = min(big_r, big_r // 3 + 8192)
+                and rx_uniform):
+            # Depth-aware cap: each extra reflection constrains the
+            # image geometry, so valid fractions fall with depth
+            # (measured on the canyon map: 24% at depth 1, 7% at
+            # depth 2).  The scalar-cond fallback keeps ANY scene
+            # correct if a cap is ever exceeded — only that run's
+            # speed degrades.
+            frac = 3 if depth <= 1 else 6
+            cap = min(big_r, big_r // frac + 8192)
             flat_valid = valid.reshape(-1)
             dest = jnp.cumsum(flat_valid.astype(jnp.int32)) - 1
             count = dest[-1] + 1
@@ -835,8 +854,9 @@ class PathSolver:
                 # dense-link workloads (radio maps: every cell a
                 # receiver) keep ~10-20% of pairs valid; sparse-link
                 # path solves keep well under 1%.
-                frac = 4 if dense_links else 16
-                cap = min(big_r, big_r // frac + 4096)
+                frac = 4 if dense_links else 64
+                floor = 4096 if dense_links else 1024
+                cap = min(big_r, big_r // frac + floor)
                 if compact_transmission and cap < big_r:
                     flat_valid = valid.reshape(-1)
                     dest = jnp.cumsum(
