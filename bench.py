@@ -484,7 +484,7 @@ def bench_sys(n_slots=50):
 # 5. LDPC decoder-only iteration rate
 # ----------------------------------------------------------------- #
 
-def bench_ldpc_iters(batch=2048, num_iter=20, n_calls=3):
+def bench_ldpc_iters(batch=2048, num_iter=20, n_scan=4, n_calls=3):
     from sionna_tpu.phy.fec.ldpc import LDPC5GEncoder, LDPC5GDecoder
 
     k, n = 6144, 12288
@@ -494,15 +494,23 @@ def bench_ldpc_iters(batch=2048, num_iter=20, n_calls=3):
     key = jax.random.PRNGKey(0)
     llr = jax.random.normal(key, (batch, n), jnp.float32) * 4.0
 
+    # n_scan decodes fused per call (same amortization as the
+    # flagship): the decoder-only rate was previously dominated by
+    # the ~30 ms per-call tunnel RPC (608 vs 877 kiter/s measured)
     @jax.jit
     def chunk(llr, eps):
-        return jnp.sum(dec(llr + eps).astype(jnp.int32))
+        def body(carry, i):
+            out = dec(llr + eps * (1. + i.astype(jnp.float32)))
+            return carry + jnp.sum(out).astype(jnp.int32), None
+        tot, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(n_scan))
+        return tot
 
     dt, _ = _timed_calls(
         chunk, lambda i: (llr, jnp.float32(1e-6 * i)), n_calls)
     return [{
         "metric": "ldpc_bp_codeword_iterations_per_s",
-        "value": round(n_calls * batch * num_iter / dt / 1e3, 3),
+        "value": round(n_calls * n_scan * batch * num_iter / dt / 1e3,
+                       3),
         "unit": "kiter/s",
         "vs_baseline": None,
     }]

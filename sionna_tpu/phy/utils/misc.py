@@ -188,27 +188,41 @@ class SplineGriddataInterpolation(Interpolate):
 
     def struct(self, z, x, y, x_interp, y_interp, spline_degree=1,
                **kwargs):
+        """Spline interpolation of BLER-like data in the LOG domain,
+        mirroring the reference exactly (misc.py:1147): zeros are
+        replaced by 10^(min_log - 2) before taking log10, the spline
+        runs on log10(z), and interpolated values below the smallest
+        nonzero sample are floored back to exactly 0.  Interpolating
+        in the linear domain instead diverges by ORDERS of magnitude
+        in the waterfall region between CBS grid points — a defect
+        the round-5 ILLA/OLLA differential caught as systematic MCS
+        under-selection."""
         from scipy.interpolate import RectBivariateSpline
         x = np.asarray(x, np.float64)
         y = np.asarray(y, np.float64)
         z = np.asarray(z, np.float64)
         x_interp = np.asarray(x_interp, np.float64)
         y_interp = np.asarray(y_interp, np.float64)
-        # Degenerate axes (single sample): interpolate 1D along the
-        # other axis and broadcast
-        if len(x) < 2 and len(y) < 2:
-            return np.full((len(x_interp), len(y_interp)), z[0, 0])
-        if len(x) < 2:
-            row = np.interp(y_interp, y, z[0])
-            return np.broadcast_to(row, (len(x_interp), len(y_interp)))
-        if len(y) < 2:
-            col = np.interp(x_interp, x, z[:, 0])
-            return np.broadcast_to(col[:, None],
-                                   (len(x_interp), len(y_interp)))
-        kx = min(spline_degree, len(x) - 1)
+        if len(x) <= spline_degree:
+            raise ValueError("Too few points for interpolation")
+
+        log_mat = np.zeros(z.shape)
+        mat_is0 = z == 0
+        if mat_is0.sum() > 0:
+            log_mat_not0 = np.log10(z[~mat_is0])
+            min_log_mat_not0 = min(log_mat_not0)
+            log_mat[~mat_is0] = log_mat_not0
+            log_mat[mat_is0] = min_log_mat_not0 - 2
+        else:
+            log_mat = np.log10(z)
+            min_log_mat_not0 = -np.inf
+
         ky = min(spline_degree, len(y) - 1)
-        spline = RectBivariateSpline(x, y, z, kx=kx, ky=ky)
-        return spline(x_interp, y_interp)
+        spline = RectBivariateSpline(x, y, log_mat, kx=spline_degree,
+                                     ky=ky)
+        mat_interp = np.power(10, spline(x_interp, y_interp))
+        mat_interp[mat_interp < 10 ** min_log_mat_not0] = 0
+        return mat_interp
 
     def unstruct(self, z, x, y, x_interp, y_interp,
                  griddata_method="linear", **kwargs):

@@ -1053,7 +1053,7 @@ def _composed_system_level(mk_ref, mk_tpu, seed):
     import tensorflow as tf
     import sionna.phy.channel.tr38901.system_level_scenario as ref_sls
 
-    batch, nb_ut, nb_bs = 64, 3, 2
+    batch, nb_ut, nb_bs = 128, 3, 2
     num_t, fs = 32, 500.0
     fft, scs = 33, 600e3     # freq-correlation probe grid
 
@@ -1068,28 +1068,44 @@ def _composed_system_level(mk_ref, mk_tpu, seed):
         p = np.mean(np.abs(a) ** 2, axis=(2, 4, 6))   # [b, rx, tx, P]
         ptot = p.sum(-1)                              # [b, rx, tx]
         mean_pow = ptot.mean(0)                       # [rx, tx]
-        # power-weighted RMS delay spread per link, batch-averaged
+        # RMS delay spread per sample, compared in the LOG domain
+        # batch-mean (the DS large-scale parameter is lognormal with
+        # sigma ~0.3-0.9 decades: linear-domain means are dominated
+        # by the draw tail, not by framework differences)
         tbar = (p * tau).sum(-1) / np.maximum(ptot, 1e-30)
         t2 = (p * tau ** 2).sum(-1) / np.maximum(ptot, 1e-30)
-        ds = np.sqrt(np.maximum(t2 - tbar ** 2, 0.))
-        mean_ds = ds.mean(0)
-        # frequency correlation |R(df)| over an fft-point probe grid
+        ds = np.sqrt(np.maximum(t2 - tbar ** 2, 1e-22))
+        mean_log_ds = np.log10(ds).mean(0)            # [rx, tx] decades
+        # frequency correlation |R(df)|, POOLED over links (every
+        # link shares the same scenario statistics once pathloss is
+        # normalized out by the correlation itself): per-sample R
+        # spans nearly [0, 1] with the DS draw, so per-link means at
+        # this batch still wobble by ~0.06 — pooling gives the
+        # estimator the variance the tolerance assumes
         f = (np.arange(fft) - fft // 2) * scs
         ph = np.exp(-2j * np.pi * f[:, None]
                     * tau[..., None, :])              # [b,rx,tx,F,P]
         a0 = a[..., 0]                                # [b,rx,rxa,tx,txa,P]
         h = np.einsum("brmtnp,brtfp->brmtnf", a0, ph)
-        num = np.mean(h[..., :-4] * np.conj(h[..., 4:]),
-                      axis=(0, 2, 4, 5))
-        den = np.mean(np.abs(h) ** 2, axis=(0, 2, 4, 5))
-        fcorr = np.abs(num) / np.maximum(den, 1e-30)  # [rx, tx]
-        # time autocorrelation at lag L/2 (Doppler fingerprint)
+        # normalize per link so strong links don't dominate the pool
+        pwr = np.mean(np.abs(h) ** 2, axis=(0, 2, 4, 5),
+                      keepdims=True)
+        hn = h / np.sqrt(np.maximum(pwr, 1e-300))
+        # probe at ONE subcarrier spacing (600 kHz): with UMa-class
+        # delay spreads |R| at wider lags sits near zero, where the
+        # complex-mean estimator is pure noise
+        fcorr = np.abs(np.mean(hn[..., :-1] * np.conj(hn[..., 1:]))
+                       / np.mean(np.abs(hn) ** 2))
+        # time autocorrelation at lag L/2 (Doppler fingerprint),
+        # pooled the same way
         lag = num_t // 2
-        num_t_ = np.mean(a[..., :num_t - lag]
-                         * np.conj(a[..., lag:]), axis=(0, 2, 4, 5, 6))
-        den_t = np.mean(np.abs(a) ** 2, axis=(0, 2, 4, 5, 6))
-        tcorr = np.abs(num_t_) / np.maximum(den_t, 1e-30)
-        return mean_pow, mean_ds, fcorr, tcorr
+        pwr_t = np.mean(np.abs(a) ** 2, axis=(0, 2, 4, 5, 6),
+                        keepdims=True)
+        an = a / np.sqrt(np.maximum(pwr_t, 1e-300))
+        tcorr = np.abs(np.mean(an[..., :num_t - lag]
+                               * np.conj(an[..., lag:]))
+                       / np.mean(np.abs(an) ** 2))
+        return mean_pow, mean_log_ds, fcorr, tcorr
 
     # upstream-bug patch (see tr38901_scenario_pathloss_lsp): the
     # reference's public distance_3d returns _distance_2d
@@ -1113,13 +1129,13 @@ def _composed_system_level(mk_ref, mk_tpu, seed):
             tp, tds, tfc, ttc = stats(ta, ttau)
             e_pow = float(np.max(np.abs(np.log10(
                 tp / np.maximum(rp, 1e-300)))))       # decades
-            e_ds = float(np.max(np.abs(tds - rds)
-                                / np.maximum(rds, 1e-12)))
-            e_fc = float(np.max(np.abs(tfc - rfc)))
-            e_tc = float(np.max(np.abs(ttc - rtc)))
+            e_ds = float(np.max(np.abs(tds - rds)))   # decades
+            e_fc = float(abs(tfc - rfc))
+            e_tc = float(abs(ttc - rtc))
             details[f"los{los}"] = {
-                "power_decades": e_pow, "delay_spread_rel": e_ds,
-                "freq_corr": e_fc, "time_corr": e_tc}
+                "power_decades": e_pow,
+                "delay_spread_decades": e_ds,
+                "freq_corr_pooled": e_fc, "time_corr_pooled": e_tc}
             worst = max(worst, e_pow, e_ds, e_fc, e_tc)
     finally:
         ref_sls.SystemLevelScenario.distance_3d = orig_d3d
@@ -1493,7 +1509,7 @@ def sys_hexgrid():
     import tensorflow as tf
     from sionna.sys.topology import HexGrid as RefGrid
     from sionna_tpu.sys.topology import HexGrid as TpuGrid
-    import sionna.phy.config as ref_cfg
+    from sionna.phy import config as ref_config
 
     worst = 0.0
     details = {}
@@ -1529,9 +1545,9 @@ def sys_hexgrid():
 
     # random-drop statistics (each framework its own RNG, seeded for
     # determinism of the check itself)
-    ref_cfg.config.seed = 4242
-    import sionna_tpu.phy.config as tpu_cfg
-    tpu_cfg.config.seed = 4242
+    ref_config.seed = 4242
+    from sionna_tpu.phy.config import config as tpu_config
+    tpu_config.seed = 4242
     r_g = RefGrid(num_rings=1, isd=200., cell_height=25.)
     t_g = TpuGrid(num_rings=1, isd=200., cell_height=25.)
     r_ut, _, r_wd = r_g(300, 4, min_bs_ut_dist=10.,
